@@ -1,0 +1,228 @@
+"""BabyBear field arithmetic on device (JAX), in Montgomery form on uint32.
+
+Why Montgomery/uint32: TPUs have no native 64-bit integer path and no
+32x32->64 widening multiply exposed through XLA; we synthesize the 64-bit
+product from 16-bit limbs using only wrapping ``uint32`` ops, then apply a
+textbook REDC. The same code runs unchanged on the CPU backend (used by the
+test suite) and inside Pallas TPU kernels (the ops are plain ``jnp`` ops).
+
+Representation: a device array ``x`` holds ``val * R mod P`` with
+``R = 2^32``. Conversions to/from the canonical host representation happen at
+protocol boundaries only (transcript observes, proof assembly).
+
+Extension field EF4 = F_p[x]/(x^4 - 11) is represented with a trailing
+dimension of size 4.
+
+This module is the TPU-native peer of the reference's field headers
+(``cuda-common/include/mont32_t.cuh``, ``ff/baby_bear.hpp``) — re-derived from
+the standard Montgomery algorithm, not translated.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .babybear import EXT_W, P as P_INT
+
+P = jnp.uint32(P_INT)
+# R = 2^32 mod P, R2 = R^2 mod P
+R_INT = (1 << 32) % P_INT
+R2_INT = (R_INT * R_INT) % P_INT
+# NPRIME = -P^{-1} mod 2^32  (so that m = t_lo * NPRIME makes t + m*P divisible by 2^32)
+NPRIME_INT = (-pow(P_INT, -1, 1 << 32)) % (1 << 32)
+NPRIME = jnp.uint32(NPRIME_INT)
+R2 = jnp.uint32(R2_INT)
+
+MASK16 = jnp.uint32(0xFFFF)
+
+
+def _mul_full(a, b):
+    """Full 32x32 -> 64-bit product as (hi, lo) uint32 pair, via 16-bit limbs."""
+    a0 = a & MASK16
+    a1 = a >> 16
+    b0 = b & MASK16
+    b1 = b >> 16
+    ll = a0 * b0
+    lh = a0 * b1
+    hl = a1 * b0
+    hh = a1 * b1
+    mid = lh + hl
+    carry_mid = (mid < lh).astype(jnp.uint32)
+    lo = ll + (mid << 16)
+    carry_lo = (lo < ll).astype(jnp.uint32)
+    hi = hh + (mid >> 16) + (carry_mid << 16) + carry_lo
+    return hi, lo
+
+
+def _redc(hi, lo):
+    """Montgomery reduction of 64-bit (hi, lo) < P * 2^32; returns value < P."""
+    m = lo * NPRIME  # wrapping
+    mp_hi, mp_lo = _mul_full(m, P)
+    # (hi:lo) + (mp_hi:mp_lo) has zero low word; carry is 1 unless lo == 0
+    carry = (lo != jnp.uint32(0)).astype(jnp.uint32)
+    u = hi + mp_hi + carry
+    return jnp.where(u >= P, u - P, u)
+
+
+def mul(a, b):
+    """Montgomery product of arrays in Monty form (broadcasts)."""
+    a, b = jnp.broadcast_arrays(a, b)
+    hi, lo = _mul_full(a, b)
+    return _redc(hi, lo)
+
+
+def add(a, b):
+    s = a + b  # both < P < 2^31 so no wrap
+    return jnp.where(s >= P, s - P, s)
+
+
+def sub(a, b):
+    d = a - b  # wraps if negative
+    return jnp.where(a >= b, d, d + P)
+
+
+def neg(a):
+    return jnp.where(a == 0, a, P - a)
+
+
+def from_u32(x):
+    """Canonical uint32 values -> Monty form (device)."""
+    x = jnp.asarray(x, jnp.uint32)
+    return mul(x, R2)
+
+
+def to_u32(x):
+    """Monty form -> canonical uint32 (device). REDC with hi = 0."""
+    return _redc(jnp.zeros_like(x), x)
+
+
+def const(v: int) -> jnp.ndarray:
+    """Host int -> Monty-form scalar constant."""
+    return jnp.uint32((int(v) % P_INT) * R_INT % P_INT)
+
+
+def const_arr(vals) -> jnp.ndarray:
+    """Host canonical array -> Monty-form device array (host-side conversion)."""
+    a = np.asarray(vals, dtype=np.uint64) % np.uint64(P_INT)
+    return jnp.asarray((a * np.uint64(R_INT)) % np.uint64(P_INT), dtype=jnp.uint32)
+
+
+def to_host(x) -> np.ndarray:
+    """Monty-form device array -> canonical numpy uint64 array."""
+    return np.asarray(jax.device_get(to_u32(x)), dtype=np.uint64)
+
+
+def pow_const(a, e: int):
+    """a ** e for python int e (unrolled square-and-multiply at trace time)."""
+    result = None
+    base = a
+    ee = int(e)
+    while ee > 0:
+        if ee & 1:
+            result = base if result is None else mul(result, base)
+        base = mul(base, base)
+        ee >>= 1
+    if result is None:
+        return jnp.full_like(a, const(1))
+    return result
+
+
+def inv(a):
+    """Elementwise inverse by Fermat (a^(P-2)). a must be nonzero."""
+    return pow_const(a, P_INT - 2)
+
+
+# ---------------------------------------------------------------------------
+# Extension field EF4: trailing dim 4, coefficients in Monty form.
+# ---------------------------------------------------------------------------
+
+W_MONT = const(EXT_W)
+
+
+def ext_from_base(a):
+    """Base field (Monty) -> EF with zero high coefficients."""
+    a = jnp.asarray(a)
+    return jnp.concatenate(
+        [a[..., None], jnp.zeros(a.shape + (3,), dtype=jnp.uint32)], axis=-1
+    )
+
+
+def ext_add(a, b):
+    return add(a, b)
+
+
+def ext_sub(a, b):
+    return sub(a, b)
+
+
+def ext_neg(a):
+    return neg(a)
+
+
+def ext_mul(a, b):
+    """EF4 * EF4 with x^4 = W (broadcasts leading dims)."""
+    a, b = jnp.broadcast_arrays(a, b)
+    a0, a1, a2, a3 = (a[..., i] for i in range(4))
+    b0, b1, b2, b3 = (b[..., i] for i in range(4))
+    w = lambda x: mul(x, W_MONT)
+    c0 = add(mul(a0, b0), w(add(add(mul(a1, b3), mul(a2, b2)), mul(a3, b1))))
+    c1 = add(add(mul(a0, b1), mul(a1, b0)), w(add(mul(a2, b3), mul(a3, b2))))
+    c2 = add(add(mul(a0, b2), mul(a1, b1)), add(mul(a2, b0), w(mul(a3, b3))))
+    c3 = add(add(mul(a0, b3), mul(a1, b2)), add(mul(a2, b1), mul(a3, b0)))
+    return jnp.stack([c0, c1, c2, c3], axis=-1)
+
+
+def ext_scale(a, s):
+    """EF * base-field scalar (both Monty)."""
+    return mul(a, jnp.asarray(s)[..., None])
+
+
+def ext_const(coeffs) -> jnp.ndarray:
+    """Host canonical 4-coeff value -> Monty EF constant (shape (4,))."""
+    return const_arr(np.asarray(coeffs, dtype=np.uint64))
+
+
+def ext_to_host(x) -> np.ndarray:
+    return to_host(x)
+
+
+def ext_pow_const(a, e: int):
+    result = None
+    base = a
+    ee = int(e)
+    while ee > 0:
+        if ee & 1:
+            result = base if result is None else ext_mul(result, base)
+        base = ext_mul(base, base)
+        ee >>= 1
+    if result is None:
+        one = jnp.zeros(jnp.asarray(a).shape, dtype=jnp.uint32)
+        return one.at[..., 0].set(const(1))
+    return result
+
+
+def ext_sum(a, axis=0):
+    """Sum along an axis with modular reduction.
+
+    uint32 sums wrap; we reduce pairwise with the modular `add` via a tree to
+    stay exact. For long axes this builds a log-depth tree at trace time.
+    """
+    a = jnp.asarray(a)
+    n = a.shape[axis]
+    if n == 0:
+        shape = list(a.shape)
+        del shape[axis]
+        return jnp.zeros(shape, dtype=jnp.uint32)
+    a = jnp.moveaxis(a, axis, 0)
+    while a.shape[0] > 1:
+        m = a.shape[0]
+        if m % 2 == 1:
+            a = jnp.concatenate([a, jnp.zeros((1,) + a.shape[1:], jnp.uint32)], 0)
+            m += 1
+        a = add(a[0::2], a[1::2])
+    return a[0]
+
+
+base_sum = ext_sum  # same tree reduction works for base field arrays
