@@ -1,0 +1,123 @@
+"""Merkle tree over Poseidon2 digests, built on device (JAX).
+
+Layout mirrors the stacked-PCS commitment scheme of the reference
+(``crates/stark-backend/src/prover/stacked_pcs.rs:413``): rows of the
+codeword matrix are leaf-hashed; the first log2(rows_per_query) compression
+levels pair rows at stride ``query_stride = num_leaves / rows_per_query``
+(so one query index opens 2^k_whir coset-aligned rows with one path), and
+the remaining levels are plain binary compression whose layers are retained
+for query proofs.
+
+Digest layers stay on device; query-proof extraction gathers all requested
+siblings per layer in one batched op (one small D2H per layer), which keeps
+host<->device traffic tiny even at 2^24 leaves.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..fields import jfield as jf
+from ..hash import jposeidon2 as jp2
+
+
+@dataclass
+class MerkleTree:
+    """Digest layers on device (Monty form); ``layers[0]`` has
+    ``num_leaves / rows_per_query`` digests, the last layer is the root."""
+
+    layers: List[jnp.ndarray]  # each (n_i, 8) uint32 Monty
+    rows_per_query: int
+
+    @property
+    def root(self) -> np.ndarray:
+        """Root digest as canonical uint64 host array (8,)."""
+        return jf.to_host(self.layers[-1][0])
+
+    @property
+    def query_stride(self) -> int:
+        return int(self.layers[0].shape[0])
+
+    @property
+    def proof_depth(self) -> int:
+        return len(self.layers) - 1
+
+    def batch_query_proofs(self, indices) -> List[List[np.ndarray]]:
+        """Merkle paths for many query indices; one gather+transfer per layer.
+
+        Returns proofs[qi][level] = sibling digest (8,) canonical uint64.
+        """
+        idx = np.asarray(indices, dtype=np.int64)
+        assert np.all((0 <= idx) & (idx < self.query_stride))
+        per_level = []
+        cur = idx.copy()
+        for layer in self.layers[:-1]:
+            sib = jnp.take(layer, jnp.asarray(cur ^ 1), axis=0)
+            per_level.append(jf.to_host(sib))  # (nq, 8)
+            cur >>= 1
+        return [
+            [per_level[lvl][qi] for lvl in range(len(per_level))]
+            for qi in range(len(idx))
+        ]
+
+    def query_proof(self, index: int) -> List[np.ndarray]:
+        return self.batch_query_proofs([index])[0]
+
+
+def _leaf_hashes(matrix, ext: bool):
+    """Row digests of the backing matrix.
+
+    matrix: device array (width, height) base field, or (width, height, 4)
+    extension field; a logical row concatenates all width entries (EF coeffs
+    flattened) at one height position.
+    """
+    if ext:
+        w, h, d = matrix.shape
+        rows = jnp.transpose(matrix, (1, 0, 2)).reshape(h, w * d)
+    else:
+        w, h = matrix.shape
+        rows = jnp.transpose(matrix, (1, 0))
+    return jp2.hash_rows(rows)  # (h, 8) device
+
+
+def build_merkle_tree(matrix, rows_per_query: int, ext: bool = False) -> MerkleTree:
+    """Build the digest-layer stack for a (width, height[, 4]) matrix."""
+    height = matrix.shape[1]
+    assert height & (height - 1) == 0, "height must be a power of two"
+    assert rows_per_query & (rows_per_query - 1) == 0
+    assert rows_per_query <= height
+
+    digests = _leaf_hashes(matrix, ext)  # (height, 8)
+    query_stride = height // rows_per_query
+    # strided pairing: query index y combines row groups 2x and 2x+1
+    cur = digests
+    n = height
+    while n > query_stride:
+        half = n // 2
+        grouped = cur.reshape(half // query_stride, 2, query_stride, 8)
+        left = grouped[:, 0].reshape(half, 8)
+        right = grouped[:, 1].reshape(half, 8)
+        cur = jp2.compress_pairs(left, right)
+        n = half
+    layers = [cur]
+    while layers[-1].shape[0] > 1:
+        prev = layers[-1]
+        layers.append(jp2.compress_pairs(prev[0::2], prev[1::2]))
+    return MerkleTree(layers=layers, rows_per_query=rows_per_query)
+
+
+def get_opened_rows(matrix, index: int, rows_per_query: int, ext: bool) -> np.ndarray:
+    """Rows {index + t*query_stride : t in 0..rows_per_query} of the backing
+    matrix, as canonical host array (rows_per_query, width[, 4])."""
+    height = matrix.shape[1]
+    query_stride = height // rows_per_query
+    row_ids = index + query_stride * np.arange(rows_per_query)
+    gathered = jnp.take(matrix, jnp.asarray(row_ids), axis=1)
+    host = jf.to_host(gathered)  # (width, rpq[, 4])
+    if ext:
+        return np.transpose(host, (1, 0, 2))
+    return np.transpose(host, (1, 0))

@@ -1,0 +1,169 @@
+"""Batched NTT over BabyBear on device (JAX).
+
+Design: a recursive radix-2 Cooley-Tukey over the trailing axis, fully
+vectorized over all leading axes (columns batch). The recursion is unrolled
+at trace time into log2(N) stages of strided slices + butterflies, which XLA
+fuses into a small number of kernels; twiddle tables are Monty-form device
+constants. Works on base-field arrays (..., N) and extension-field arrays
+(..., N, 4) via `ext=True` (twiddles stay in the base field since the
+two-adic subgroup lies in F_p).
+
+This is the TPU-native peer of the reference NTT stack
+(``cuda-backend/cuda/supra/ntt.cu`` + ``src/batch_ntt_small.cu``); the
+algorithm is the textbook DIT factorization, not a port.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..fields import jfield as jf
+from ..fields.babybear import P, roots_of_unity, two_adic_generator
+
+
+@lru_cache(maxsize=None)
+def _twiddles(log_n: int, inverse: bool) -> tuple:
+    """Per-stage twiddle tables in Monty form, index by merge-stage size."""
+    w = two_adic_generator(log_n)
+    if inverse:
+        w = pow(w, P - 2, P)
+    tables = []
+    # stage s merges blocks of size 2^s into 2^(s+1): twiddle w_{2^(s+1)}^k
+    for s in range(log_n):
+        m = 1 << (s + 1)
+        wm = pow(w, 1 << (log_n - s - 1), P)
+        tw = np.empty(m // 2, dtype=np.uint64)
+        acc = 1
+        for k in range(m // 2):
+            tw[k] = acc
+            acc = (acc * wm) % P
+        tables.append(jf.const_arr(tw))
+    return tuple(tables)
+
+
+def _mul_maybe_ext(x, tw, ext: bool):
+    if ext:
+        return jf.mul(x, tw[..., None])
+    return jf.mul(x, tw)
+
+
+def ntt(x, inverse: bool = False, ext: bool = False):
+    """DFT along the trailing data axis (axis -1, or -2 for ext arrays).
+
+    ntt(coeffs)[i] = poly(w^i) with w = two_adic_generator(log N), natural
+    order in/out. With inverse=True computes the unscaled inverse; callers
+    get the true iDFT from :func:`intt`.
+    """
+    axis = -2 if ext else -1
+    n = x.shape[axis]
+    if n == 1:
+        return x
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n
+    tables = _twiddles(log_n, inverse)
+
+    def rec(v, depth):
+        m = v.shape[axis]
+        if m == 1:
+            return v
+        if ext:
+            even = rec(v[..., 0::2, :], depth - 1)
+            odd = rec(v[..., 1::2, :], depth - 1)
+        else:
+            even = rec(v[..., 0::2], depth - 1)
+            odd = rec(v[..., 1::2], depth - 1)
+        tw = tables[depth - 1]  # length m/2
+        t = _mul_maybe_ext(odd, tw, ext)
+        return jnp.concatenate([jf.add(even, t), jf.sub(even, t)], axis=axis)
+
+    return rec(x, log_n)
+
+
+def intt(x, ext: bool = False):
+    """Inverse DFT (with 1/N scaling)."""
+    axis = -2 if ext else -1
+    n = x.shape[axis]
+    if n == 1:
+        return x
+    log_n = n.bit_length() - 1
+    y = ntt(x, inverse=True, ext=ext)
+    n_inv = jf.const(pow(n, P - 2, P))
+    return jf.mul(y, n_inv)
+
+
+@lru_cache(maxsize=None)
+def _coset_powers(log_n: int, shift: int):
+    """[shift^0, ..., shift^{N-1}] in Monty form."""
+    n = 1 << log_n
+    out = np.empty(n, dtype=np.uint64)
+    acc = 1
+    s = int(shift) % P
+    for i in range(n):
+        out[i] = acc
+        acc = (acc * s) % P
+    return jf.const_arr(out)
+
+
+def coset_ntt(coeffs, shift: int, ext: bool = False):
+    """Evaluate poly(coeffs) on the coset shift * <w>: scale then NTT."""
+    axis = -2 if ext else -1
+    n = coeffs.shape[axis]
+    log_n = n.bit_length() - 1
+    pows = _coset_powers(log_n, shift)
+    if ext:
+        scaled = jf.mul(coeffs, pows[:, None])
+    else:
+        scaled = jf.mul(coeffs, pows)
+    return ntt(scaled, ext=ext)
+
+
+def zeta_transform(x, log_k: int, ext: bool = False):
+    """Subset-zeta (coeffs->evals of MLE over the low log_k index bits).
+
+    For each prefix bit position b: x[i | 2^b] += x[i]. Operates on the
+    trailing data axis; index bit b has stride 2^b.
+    """
+    axis = -2 if ext else -1
+    n = x.shape[axis]
+    for b in range(log_k):
+        step = 1 << b
+        span = step << 1
+        shape = list(x.shape)
+        lead = shape[:axis] if axis == -1 else shape[:-2]
+        if ext:
+            v = x.reshape(lead + [n // span, 2, step, 4])
+            lo = v[..., 0, :, :]
+            hi = jf.add(v[..., 1, :, :], lo)
+            x = jnp.stack([lo, hi], axis=-3).reshape(shape)
+        else:
+            v = x.reshape(lead + [n // span, 2, step])
+            lo = v[..., 0, :]
+            hi = jf.add(v[..., 1, :], lo)
+            x = jnp.stack([lo, hi], axis=-2).reshape(shape)
+    return x
+
+
+def mobius_transform(x, log_k: int, ext: bool = False):
+    """Inverse of zeta_transform (evals->coeffs of MLE on low bits):
+    x[i | 2^b] -= x[i] for each bit position b in increasing order."""
+    axis = -2 if ext else -1
+    n = x.shape[axis]
+    for b in range(log_k):
+        step = 1 << b
+        span = step << 1
+        shape = list(x.shape)
+        lead = shape[:axis] if axis == -1 else shape[:-2]
+        if ext:
+            v = x.reshape(lead + [n // span, 2, step, 4])
+            lo = v[..., 0, :, :]
+            hi = jf.sub(v[..., 1, :, :], lo)
+            x = jnp.stack([lo, hi], axis=-3).reshape(shape)
+        else:
+            v = x.reshape(lead + [n // span, 2, step])
+            lo = v[..., 0, :]
+            hi = jf.sub(v[..., 1, :], lo)
+            x = jnp.stack([lo, hi], axis=-2).reshape(shape)
+    return x

@@ -1,0 +1,195 @@
+"""Stacked polynomial commitment: greedy column stacking + RS encode + Merkle.
+
+Reimplements the stacked PCS of the reference
+(``crates/stark-backend/src/prover/stacked_pcs.rs``) TPU-first:
+
+- The layout (which trace column lands where in the stacked matrix) is pure
+  host metadata computed once per proof shape.
+- Stacking itself is a single device gather driven by a precomputed index
+  map, so heterogeneous trace heights become one static-shape operation.
+- RS encoding is a batched device pipeline: per-column iDFT on the
+  univariate-skip domain chunks, subset-zeta transform over the low l_skip
+  index bits (the eval-to-coeff RS message), zero-pad by the blowup and one
+  big batched NTT.
+- The Merkle tree hashes rows with 2^k_whir rows per query leaf-group.
+
+Matrices are device arrays of shape (width, height) in Monty form ("column
+major": axis 0 indexes columns).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..fields import jfield as jf
+from .merkle import MerkleTree, build_merkle_tree
+from .ntt import intt, ntt, zeta_transform
+
+
+@dataclass(frozen=True)
+class StackedSlice:
+    """Location of one (lifted) trace column inside the stacked matrix."""
+
+    col_idx: int
+    row_idx: int
+    log_height: int  # true log height; striding if < l_skip
+
+    def length(self, l_skip: int) -> int:
+        return 1 << max(self.log_height, l_skip)
+
+    def stride(self, l_skip: int) -> int:
+        return 1 << max(0, l_skip - self.log_height)
+
+
+@dataclass
+class StackedLayout:
+    l_skip: int
+    height: int
+    width: int
+    # (matrix index, column index, slice) in stacking order
+    sorted_cols: List[Tuple[int, int, StackedSlice]]
+    mat_starts: List[int]
+
+    @staticmethod
+    def new(
+        l_skip: int,
+        log_stacked_height: int,
+        sorted_dims: Sequence[Tuple[int, int]],  # (width, log_height) desc by height
+    ) -> "StackedLayout":
+        assert l_skip <= log_stacked_height
+        assert all(
+            sorted_dims[i][1] >= sorted_dims[i + 1][1]
+            for i in range(len(sorted_dims) - 1)
+        ), "trace dims must be sorted by descending height"
+        height = 1 << log_stacked_height
+        sorted_cols: List[Tuple[int, int, StackedSlice]] = []
+        mat_starts: List[int] = []
+        col_idx = 0
+        row_idx = 0
+        for mat_idx, (width, log_ht) in enumerate(sorted_dims):
+            mat_starts.append(len(sorted_cols))
+            if width == 0:
+                continue
+            if log_ht > log_stacked_height:
+                raise ValueError(
+                    f"trace log height {log_ht} exceeds stacked {log_stacked_height}"
+                )
+            slice_len = 1 << max(log_ht, l_skip)
+            for j in range(width):
+                if row_idx + slice_len > height:
+                    if row_idx != height:
+                        raise ValueError("column overflow in stacking layout")
+                    col_idx += 1
+                    row_idx = 0
+                sorted_cols.append(
+                    (mat_idx, j, StackedSlice(col_idx, row_idx, log_ht))
+                )
+                row_idx += slice_len
+        width = col_idx + (1 if row_idx != 0 else 0)
+        return StackedLayout(l_skip, height, width, sorted_cols, mat_starts)
+
+    def get(self, mat_idx: int, col_idx: int) -> Optional[StackedSlice]:
+        idx = self.mat_starts[mat_idx] + col_idx
+        if idx >= len(self.sorted_cols):
+            return None
+        m, c, s = self.sorted_cols[idx]
+        assert m == mat_idx and c == col_idx
+        return s
+
+    def width_of(self, mat_idx: int) -> int:
+        start = self.mat_starts[mat_idx]
+        end = (
+            self.mat_starts[mat_idx + 1]
+            if mat_idx + 1 < len(self.mat_starts)
+            else len(self.sorted_cols)
+        )
+        return end - start
+
+
+@dataclass
+class StackedPcsData:
+    """Prover-side committed data for one stacked commitment."""
+
+    layout: StackedLayout
+    matrix: jnp.ndarray  # (width, height) stacked evaluations, Monty
+    rs_matrix: jnp.ndarray  # (width, height << log_blowup) codewords, Monty
+    tree: MerkleTree
+
+    @property
+    def commit(self) -> np.ndarray:
+        return self.tree.root
+
+
+def stack_traces(
+    l_skip: int,
+    n_stack: int,
+    traces: Sequence[jnp.ndarray],  # each (width_t, height_t) Monty, height desc
+) -> Tuple[jnp.ndarray, StackedLayout]:
+    """Scatter trace columns into the stacked matrix via one device gather."""
+    dims = [(int(t.shape[0]), int(t.shape[1]).bit_length() - 1) for t in traces]
+    layout = StackedLayout.new(l_skip, l_skip + n_stack, dims)
+    height = layout.height
+    width = layout.width
+
+    # flat source buffer: traces flattened in (col, row) order, concatenated
+    offsets = np.cumsum([0] + [t.shape[0] * t.shape[1] for t in traces])
+    flat = jnp.concatenate([t.reshape(-1) for t in traces])
+    # one zero sentinel at the end
+    flat = jnp.concatenate([flat, jnp.zeros((1,), jnp.uint32)])
+    zero_pos = flat.shape[0] - 1
+
+    src = np.full((width, height), zero_pos, dtype=np.int64)
+    for mat_idx, j, s in layout.sorted_cols:
+        h_t = 1 << s.log_height
+        base = offsets[mat_idx] + j * h_t
+        stride = s.stride(l_skip)
+        pos = s.row_idx + stride * np.arange(h_t)
+        src[s.col_idx, pos] = base + np.arange(h_t)
+    stacked = jnp.take(flat, jnp.asarray(src.reshape(-1)), axis=0).reshape(
+        width, height
+    )
+    return stacked, layout
+
+
+def rs_message(l_skip: int, evals: jnp.ndarray) -> jnp.ndarray:
+    """Eval-to-coeff RS message of prismalinear columns (batched over axis 0).
+
+    Input (..., height): evaluations on D x H_n (low l_skip index bits select
+    the point of D). Output same shape: iDFT per 2^l_skip chunk then zeta
+    transform over the chunk-local bits.
+    """
+    shape = evals.shape
+    height = shape[-1]
+    chunks = evals.reshape(shape[:-1] + (height >> l_skip, 1 << l_skip))
+    coeffs = intt(chunks).reshape(shape)
+    return zeta_transform(coeffs, l_skip)
+
+
+def rs_code_matrix(l_skip: int, log_blowup: int, stacked: jnp.ndarray) -> jnp.ndarray:
+    """Reed-Solomon codewords of all stacked columns (batched NTT)."""
+    width, height = stacked.shape
+    msg = rs_message(l_skip, stacked)
+    padded = jnp.concatenate(
+        [msg, jnp.zeros((width, height * ((1 << log_blowup) - 1)), jnp.uint32)],
+        axis=1,
+    )
+    return ntt(padded)
+
+
+def stacked_commit(
+    l_skip: int,
+    n_stack: int,
+    log_blowup: int,
+    k_whir: int,
+    traces: Sequence[jnp.ndarray],
+) -> Tuple[np.ndarray, StackedPcsData]:
+    """Commit to a height-sorted collection of traces; returns (root, data)."""
+    stacked, layout = stack_traces(l_skip, n_stack, traces)
+    rs = rs_code_matrix(l_skip, log_blowup, stacked)
+    tree = build_merkle_tree(rs, 1 << k_whir)
+    data = StackedPcsData(layout=layout, matrix=stacked, rs_matrix=rs, tree=tree)
+    return tree.root, data
