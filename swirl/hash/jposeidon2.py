@@ -82,6 +82,10 @@ def permute(state):
     return s
 
 
+from functools import partial
+
+
+@partial(jax.jit)
 def hash_rows(mat):
     """Hash each row of a (n, w) Monty-form matrix -> (n, 8) digests.
 
@@ -96,6 +100,7 @@ def hash_rows(mat):
     return state[:, :DIGEST]
 
 
+@jax.jit
 def compress_pairs(left, right):
     """(n, 8), (n, 8) -> (n, 8) via truncated permutation."""
     state = jnp.concatenate([left, right], axis=-1)

@@ -1,0 +1,227 @@
+"""Constraint-DAG evaluation, device (JAX) and host (numpy) flavors.
+
+The TPU-native analog of the reference's two constraint-evaluation engines
+(DAG-bytecode interpreter + monomial kernels, ``cuda-backend/src/pkey.rs``):
+here the per-AIR DAG is *traced* into a fused XLA computation over row
+batches — each DAG node becomes one batched field op, and XLA fuses the
+whole constraint into a handful of kernels.
+
+Value conventions:
+- device base mode: every node value is a base-field array broadcastable to
+  the row-batch shape (used in univariate-skip round 0, where trace values
+  are base field);
+- device ext mode: every node value is an EF array (..., 4) (used in MLE
+  sumcheck rounds after folding);
+- host mode: single-point EF values (4,) (verifier and the prover's
+  exhausted-trace tail).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..fields import ext as hext
+from ..fields import jfield as jf
+from ..fields.babybear import P, U64
+from ..symbolic import ConstraintsDag, Interaction, eval_dag_nodes
+
+
+class DeviceEvaluator:
+    """Evaluates DAG nodes over row-batched device arrays.
+
+    parts: list over trace parts [cached_0, ..., common] of (local, next)
+    array pairs; ``next`` may be None when rotations are unused. Arrays are
+    (width, *batch) base or (width, *batch, 4) ext.
+    """
+
+    def __init__(
+        self,
+        sels,  # (3, *batch[, 4])
+        preprocessed: Optional[Tuple],
+        parts: Sequence[Tuple],
+        public_values: Sequence[int],
+        ext_mode: bool,
+    ):
+        self.sels = sels
+        self.preprocessed = preprocessed
+        self.parts = parts
+        self.public_values = public_values
+        self.ext_mode = ext_mode
+
+    # field ops ------------------------------------------------------------
+    def add(self, a, b):
+        return jf.ext_add(a, b) if self.ext_mode else jf.add(a, b)
+
+    def sub(self, a, b):
+        return jf.ext_sub(a, b) if self.ext_mode else jf.sub(a, b)
+
+    def neg(self, a):
+        return jf.ext_neg(a) if self.ext_mode else jf.neg(a)
+
+    def mul(self, a, b):
+        return jf.ext_mul(a, b) if self.ext_mode else jf.mul(a, b)
+
+    # leaves ---------------------------------------------------------------
+    def eval_const(self, c: int):
+        if self.ext_mode:
+            return jf.ext_const(hext.from_base(c))
+        return jf.const(c)
+
+    def eval_var(self, entry: str, part: int, offset: int, index: int):
+        if entry == "public":
+            return self.eval_const(int(self.public_values[index]))
+        if entry == "preprocessed":
+            pair = self.preprocessed
+        else:
+            pair = self.parts[part]
+        arr = pair[0] if offset == 0 else pair[1]
+        return arr[index]
+
+    def eval_sel(self, kind: str):
+        i = {"is_first_row": 0, "is_transition": 1, "is_last_row": 2}[kind]
+        return self.sels[i]
+
+
+class HostEvaluator:
+    """Single-point EF evaluation (verifier / prover tail)."""
+
+    def __init__(
+        self,
+        sels,  # (is_first, is_transition, is_last) EF values
+        preprocessed: Optional[Sequence[Tuple[np.ndarray, np.ndarray]]],
+        parts: Sequence[Sequence[Tuple[np.ndarray, np.ndarray]]],
+        public_values: Sequence[int],
+    ):
+        self.sels = sels
+        self.preprocessed = preprocessed
+        self.parts = parts
+        self.public_values = public_values
+
+    def add(self, a, b):
+        return hext.eadd(a, b)
+
+    def sub(self, a, b):
+        return hext.esub(a, b)
+
+    def neg(self, a):
+        return hext.eneg(a)
+
+    def mul(self, a, b):
+        return hext.emul(a, b)
+
+    def eval_const(self, c: int):
+        return hext.from_base(c)
+
+    def eval_var(self, entry: str, part: int, offset: int, index: int):
+        if entry == "public":
+            return hext.from_base(int(self.public_values[index]))
+        cols = self.preprocessed if entry == "preprocessed" else self.parts[part]
+        return cols[index][offset]
+
+    def eval_sel(self, kind: str):
+        i = {"is_first_row": 0, "is_transition": 1, "is_last_row": 2}[kind]
+        return self.sels[i]
+
+
+def eval_nodes(dag: ConstraintsDag, evaluator) -> list:
+    return eval_dag_nodes(dag, evaluator)
+
+
+def acc_constraints_device(dag: ConstraintsDag, evaluator: DeviceEvaluator, lambda_pows_dev):
+    """sum_i lambda^i * constraint_i, as an EF array over the batch."""
+    nodes = eval_nodes(dag, evaluator)
+    acc = None
+    for i, idx in enumerate(dag.constraint_idx):
+        v = nodes[idx]
+        if evaluator.ext_mode:
+            term = jf.ext_mul(v, lambda_pows_dev[i])
+        else:
+            term = jf.mul(lambda_pows_dev[i], v[..., None])
+        acc = term if acc is None else jf.ext_add(acc, term)
+    if acc is None:
+        batch = evaluator.sels.shape[1:-1] if evaluator.ext_mode else evaluator.sels.shape[1:]
+        return jnp.zeros(tuple(batch) + (4,), jnp.uint32)
+    return acc
+
+
+def acc_interactions_device(
+    dag: ConstraintsDag,
+    evaluator: DeviceEvaluator,
+    beta_pows_dev,  # (max_len+1, 4) device EF
+    bus_terms_dev,  # (num_interactions, 4) device EF: beta^len * (bus+1)
+    eq_3bs_dev,  # (num_interactions, 4) device EF weights
+):
+    """Returns (numer, denom) EF arrays over the batch:
+    numer = sum_s eq3b_s * count_s, denom = sum_s eq3b_s * h_beta_s
+    (denominators exclude the alpha shift)."""
+    nodes = eval_nodes(dag, evaluator)
+    numer = None
+    denom = None
+    for s, it in enumerate(dag.interactions):
+        count = nodes[it.count]
+        h_beta = bus_terms_dev[s]
+        for j, m_idx in enumerate(it.message):
+            msg = nodes[m_idx]
+            if evaluator.ext_mode:
+                term = jf.ext_mul(msg, beta_pows_dev[j])
+            else:
+                term = jf.mul(beta_pows_dev[j], msg[..., None])
+            h_beta = jf.ext_add(h_beta, term)
+        if evaluator.ext_mode:
+            n_term = jf.ext_mul(count, eq_3bs_dev[s])
+        else:
+            n_term = jf.mul(eq_3bs_dev[s], count[..., None])
+        d_term = jf.ext_mul(h_beta, eq_3bs_dev[s])
+        numer = n_term if numer is None else jf.ext_add(numer, n_term)
+        denom = d_term if denom is None else jf.ext_add(denom, d_term)
+    return numer, denom
+
+
+def interactions_pq_device(
+    dag: ConstraintsDag,
+    evaluator: DeviceEvaluator,
+    beta_pows_dev,
+    bus_terms_dev,
+):
+    """Per-interaction (count, h_beta) arrays for GKR input evaluation."""
+    nodes = eval_nodes(dag, evaluator)
+    out = []
+    for s, it in enumerate(dag.interactions):
+        count = nodes[it.count]
+        h_beta = bus_terms_dev[s]
+        for j, m_idx in enumerate(it.message):
+            msg = nodes[m_idx]
+            if evaluator.ext_mode:
+                term = jf.ext_mul(msg, beta_pows_dev[j])
+            else:
+                term = jf.mul(beta_pows_dev[j], msg[..., None])
+            h_beta = jf.ext_add(h_beta, term)
+        out.append((count, h_beta))
+    return out
+
+
+def acc_constraints_host(dag: ConstraintsDag, evaluator: HostEvaluator, lambda_pows):
+    nodes = eval_nodes(dag, evaluator)
+    acc = hext.ezero()
+    for i, idx in enumerate(dag.constraint_idx):
+        acc = hext.eadd(acc, hext.emul(nodes[idx], lambda_pows[i]))
+    return acc
+
+
+def acc_interactions_host(
+    dag: ConstraintsDag, evaluator: HostEvaluator, beta_pows, eq_3bs
+):
+    nodes = eval_nodes(dag, evaluator)
+    numer = hext.ezero()
+    denom = hext.ezero()
+    for s, it in enumerate(dag.interactions):
+        count = nodes[it.count]
+        h_beta = hext.escale(beta_pows[len(it.message)], (it.bus_index + 1) % P)
+        for j, m_idx in enumerate(it.message):
+            h_beta = hext.eadd(h_beta, hext.emul(beta_pows[j], nodes[m_idx]))
+        numer = hext.eadd(numer, hext.emul(eq_3bs[s], count))
+        denom = hext.eadd(denom, hext.emul(eq_3bs[s], h_beta))
+    return numer, denom

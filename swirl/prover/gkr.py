@@ -1,0 +1,148 @@
+"""LogUp fractional sumcheck via a GKR layered circuit (device).
+
+Proves sum over the hypercube of p(y)/q(y) (projective fraction addition) by
+building the fraction segment tree on device and, per layer, running a
+degree-3 batch sumcheck over
+``eq(xi, Y) * (p0*q1 + p1*q0 + lambda * q0*q1)`` (cf. reference
+``crates/stark-backend/src/prover/logup_zerocheck/fractional_sumcheck_gkr.rs``
+and the CUDA strategy notes in ``docs/cuda-backend/gkr-prover.md``).
+
+Device layout: each tree layer keeps separate p and q arrays (2^t, 4); layer
+combination and per-round sumcheck evaluation are fully batched EF programs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..fields import ext as hext
+from ..fields import jfield as jf
+from ..proof import GkrLayerClaims, GkrProof
+from ..transcript import Transcript
+from .sumcheck import fold_mle_vec
+
+
+@dataclass
+class FracSumcheckResult:
+    fractional_sum: Tuple[np.ndarray, np.ndarray]  # (p, q) EF host
+    claims_per_layer: List[GkrLayerClaims]
+    sumcheck_polys: List[List[List[np.ndarray]]]
+    xi: List[np.ndarray]
+
+
+def _combine_layer(p, q):
+    """(2^t, 4) -> (2^{t-1}, 4): projective fraction addition of pairs."""
+    p0, p1 = p[0::2], p[1::2]
+    q0, q1 = q[0::2], q[1::2]
+    p_out = jf.ext_add(jf.ext_mul(p0, q1), jf.ext_mul(p1, q0))
+    q_out = jf.ext_mul(q0, q1)
+    return p_out, q_out
+
+
+def _ef(x) -> np.ndarray:
+    return jf.ext_to_host(x)
+
+
+def fractional_sumcheck(
+    transcript: Transcript, p_evals, q_evals, assert_zero: bool = True
+) -> FracSumcheckResult:
+    """p_evals, q_evals: device (2^t, 4) EF arrays (may be empty lists)."""
+    if p_evals is None:
+        return FracSumcheckResult(
+            (hext.ezero(), hext.eone()), [], [], []
+        )
+    total_rounds = int(p_evals.shape[0]).bit_length() - 1
+    assert p_evals.shape[0] == 1 << total_rounds
+
+    # build the layer stack: layers[t] has 2^t fractions; layers[total]=input
+    layers = [(p_evals, q_evals)]
+    while layers[-1][0].shape[0] > 1:
+        layers.append(_combine_layer(*layers[-1]))
+    layers.reverse()  # layers[t] now has 2^t entries
+
+    root_p, root_q = _ef(layers[0][0][0]), _ef(layers[0][1][0])
+    if assert_zero:
+        if not hext.is_zero(root_p):
+            raise ValueError("LogUp fractional sum is non-zero")
+    else:
+        transcript.observe_ext(root_p)
+    transcript.observe_ext(root_q)
+
+    claims: List[GkrLayerClaims] = []
+    sumcheck_polys: List[List[List[np.ndarray]]] = []
+
+    # layer 1 claims checked directly by the verifier
+    p1, q1 = layers[1]
+    cl = GkrLayerClaims(
+        p_xi_0=_ef(p1[0]), p_xi_1=_ef(p1[1]), q_xi_0=_ef(q1[0]), q_xi_1=_ef(q1[1])
+    )
+    claims.append(cl)
+    for v in (cl.p_xi_0, cl.q_xi_0, cl.p_xi_1, cl.q_xi_1):
+        transcript.observe_ext(v)
+    mu_1 = transcript.sample_ext()
+    xi_prev = [mu_1]
+
+    from .sumcheck import eq_hypercube_dev
+
+    for rnd in range(1, total_rounds):
+        lam = transcript.sample_ext()
+        lam_dev = jf.ext_const(lam)
+
+        p_next, q_next = layers[rnd + 1]
+        size = 1 << rnd
+        # columns over y in H_rnd: p(0,y)=p_next[2y], p(1,y)=p_next[2y+1]
+        p0, p1v = p_next[0::2], p_next[1::2]
+        q0, q1v = q_next[0::2], q_next[1::2]
+        eq_tab = eq_hypercube_dev(np.stack(xi_prev))
+
+        round_polys: List[List[np.ndarray]] = []
+        rho: List[np.ndarray] = []
+        cols = [eq_tab, p0, q0, p1v, q1v]
+        for sub in range(rnd):
+            evals_at = []
+            for x in (1, 2, 3):
+                xs = jf.const(x)
+
+                def at_x(v):
+                    pairs = v.reshape(-1, 2, 4)
+                    t0, t1 = pairs[:, 0], pairs[:, 1]
+                    if x == 1:
+                        return t1
+                    return jf.ext_add(t0, jf.ext_scale(jf.ext_sub(t1, t0), xs))
+
+                e, a0, b0, a1, b1 = (at_x(v) for v in cols)
+                p_prev = jf.ext_add(jf.ext_mul(a0, b1), jf.ext_mul(a1, b0))
+                q_prev = jf.ext_mul(b0, b1)
+                val = jf.ext_mul(e, jf.ext_add(p_prev, jf.ext_mul(lam_dev, q_prev)))
+                evals_at.append(_ef(jf.ext_sum(val, axis=0)))
+            for v in evals_at:
+                transcript.observe_ext(v)
+            round_polys.append(evals_at)
+            r_sub = transcript.sample_ext()
+            rho.append(r_sub)
+            r_dev = jf.ext_const(r_sub)
+            cols = [fold_mle_vec(v, r_dev) for v in cols]
+
+        cl = GkrLayerClaims(
+            p_xi_0=_ef(cols[1][0]),
+            q_xi_0=_ef(cols[2][0]),
+            p_xi_1=_ef(cols[3][0]),
+            q_xi_1=_ef(cols[4][0]),
+        )
+        claims.append(cl)
+        for v in (cl.p_xi_0, cl.q_xi_0, cl.p_xi_1, cl.q_xi_1):
+            transcript.observe_ext(v)
+        mu = transcript.sample_ext()
+        xi_prev = [mu] + rho
+        sumcheck_polys.append(round_polys)
+
+    return FracSumcheckResult(
+        fractional_sum=(root_p, root_q),
+        claims_per_layer=claims,
+        sumcheck_polys=sumcheck_polys,
+        xi=xi_prev,
+    )

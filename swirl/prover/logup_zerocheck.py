@@ -1,0 +1,723 @@
+"""Batched zerocheck + LogUp constraint prover (device compute, host
+orchestration).
+
+Implements the RAP constraint stage of SWIRL (cf. reference
+``crates/stark-backend/src/prover/logup_zerocheck/``): GKR over the LogUp
+fraction tree, then one univariate-skip round plus ``n_max`` multilinear
+rounds of a front-loaded batch sumcheck over all traces' zerocheck and
+LogUp-input polynomials, ending in per-column opening claims at the random
+prism point.
+
+Device/host split: all O(height) work (coset evaluation grids, DAG
+constraint evaluation, folds, hypercube reductions) is batched JAX; all
+O(degree) polynomial assembly (coset interpolation, eq-kernel algebra,
+transcript) is host numpy.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..fields import ext as hext
+from ..fields import jfield as jf
+from ..fields.babybear import GENERATOR, P, U64, batch_inverse
+from ..params import SystemParams, calculate_n_logup
+from ..proof import BatchConstraintProof, GkrProof
+from ..symbolic import ConstraintsDag
+from ..transcript import Transcript
+from .. import poly as hpoly
+from .dag_eval import (
+    DeviceEvaluator,
+    HostEvaluator,
+    acc_constraints_device,
+    acc_constraints_host,
+    acc_interactions_device,
+    acc_interactions_host,
+    interactions_pq_device,
+)
+from .gkr import fractional_sumcheck
+from .stacked_pcs import StackedLayout
+from .sumcheck import (
+    barycentric_weights_host,
+    coset_eval_chunks,
+    eq_hypercube_dev,
+    fold_mle,
+    fold_ple,
+    interp_mle_at_int,
+    rot1,
+    selectors_matrix,
+)
+
+
+def sumcheck_round0_deg(l_skip: int, d: int) -> int:
+    return d * ((1 << l_skip) - 1)
+
+
+@dataclass
+class TraceProver:
+    """Per-trace prover state."""
+
+    air_id: int
+    dag: ConstraintsDag
+    needs_next: bool
+    d_air: int
+    public_values: List[int]
+    height: int
+    n: int  # log_height - l_skip (may be negative)
+    # device base matrices (width, height)
+    preprocessed: Optional[jnp.ndarray]
+    cached: List[jnp.ndarray]
+    common: jnp.ndarray
+    # populated during proving: EF part pairs [(local, next|None)] with
+    # parts ordered [cached..., common]; preprocessed separate
+    prep_pair: Optional[Tuple] = None
+    main_pairs: Optional[List[Tuple]] = None
+    sels: Optional[jnp.ndarray] = None  # (3, cur_h, 4) EF
+    zerocheck_tilde: Optional[np.ndarray] = None
+    logup_tilde: Optional[List[np.ndarray]] = None
+
+    @property
+    def n_lift(self) -> int:
+        return max(self.n, 0)
+
+    def base_parts(self) -> List[jnp.ndarray]:
+        return ([self.preprocessed] if self.preprocessed is not None else []) + list(
+            self.cached
+        ) + [self.common]
+
+    def has_preprocessed(self) -> bool:
+        return self.preprocessed is not None
+
+
+class LogupZerocheckProver:
+    def __init__(
+        self,
+        params: SystemParams,
+        global_degree: int,
+        traces: List[TraceProver],
+    ):
+        self.params = params
+        self.l_skip = params.l_skip
+        self.d = global_degree
+        self.traces = traces
+        self.n_max = max(max(t.n for t in traces), 0)
+        self.xi: List[np.ndarray] = []
+        self._eq_tables: Dict[Tuple[int, int], jnp.ndarray] = {}
+        self.eq_ns: List[np.ndarray] = []
+        self.eq_sharp_ns: List[np.ndarray] = []
+
+    # -- eq tables ----------------------------------------------------------
+
+    def eq_table(self, start: int, end: int) -> jnp.ndarray:
+        """Device eq table over xi[start:end] (bit j <-> xi[start + j])."""
+        key = (start, end)
+        if key not in self._eq_tables:
+            vec = (
+                np.stack(self.xi[start:end])
+                if end > start
+                else np.zeros((0, 4), dtype=U64)
+            )
+            self._eq_tables[key] = eq_hypercube_dev(vec)
+        return self._eq_tables[key]
+
+
+def prove_zerocheck_and_logup(
+    transcript: Transcript,
+    params: SystemParams,
+    global_degree: int,
+    traces: List[TraceProver],
+) -> Tuple[GkrProof, BatchConstraintProof, List[np.ndarray]]:
+    l_skip = params.l_skip
+    num_traces = len(traces)
+    pv = LogupZerocheckProver(params, global_degree, traces)
+    n_max = pv.n_max
+    d_global = global_degree
+    ZERO = hext.ezero()
+
+    # interactions stacked layout (striding threshold 0; widths are
+    # interaction counts, heights are lifted trace heights)
+    total_interactions = 0
+    inter_dims = []
+    for t in traces:
+        num_int = len(t.dag.interactions)
+        log_lifted = max(t.height.bit_length() - 1, l_skip)
+        total_interactions += num_int << log_lifted
+        inter_dims.append((num_int, log_lifted))
+    n_logup = calculate_n_logup(l_skip, total_interactions)
+    inter_layout = StackedLayout.new(0, l_skip + n_logup, inter_dims)
+
+    logup_pow_witness = transcript.grind(params.logup.pow_bits)
+    alpha = transcript.sample_ext()
+    beta = transcript.sample_ext()
+
+    max_msg_len = max(
+        (len(it.message) for t in traces for it in t.dag.interactions), default=0
+    )
+    beta_pows = hext.epowers(beta, max_msg_len + 1)
+    beta_pows_dev = jf.const_arr(beta_pows)
+
+    def bus_terms_host(t: TraceProver) -> np.ndarray:
+        if not t.dag.interactions:
+            return np.zeros((0, 4), dtype=U64)
+        return np.stack(
+            [
+                hext.escale(beta_pows[len(it.message)], (it.bus_index + 1) % P)
+                for it in t.dag.interactions
+            ]
+        )
+
+    # ---- GKR input evaluation + fractional sumcheck -----------------------
+    has_interactions = len(inter_layout.sorted_cols) > 0
+    if has_interactions:
+        counts_flat = []  # base (h,) arrays
+        denoms_flat = []  # EF (h, 4) arrays
+        flat_offsets = {}
+        offset = 0
+        for t_idx, t in enumerate(traces):
+            if not t.dag.interactions:
+                continue
+            h = t.height
+            idxv = np.arange(h)
+            sels = jf.const_arr(
+                np.stack(
+                    [
+                        (idxv == 0).astype(np.uint64),
+                        (idxv != h - 1).astype(np.uint64),
+                        (idxv == h - 1).astype(np.uint64),
+                    ]
+                )
+            )
+            parts = t.base_parts()
+            pairs = [
+                (m, rot1(m) if t.needs_next else None) for m in parts
+            ]
+            prep_pair = pairs[0] if t.has_preprocessed() else None
+            main_pairs = pairs[1:] if t.has_preprocessed() else pairs
+            ev = DeviceEvaluator(sels, prep_pair, main_pairs, t.public_values, False)
+            pq = interactions_pq_device(
+                t.dag, ev, beta_pows_dev, jf.const_arr(bus_terms_host(t))
+            )
+            for s_idx, (count, h_beta) in enumerate(pq):
+                counts_flat.append(count)
+                denoms_flat.append(h_beta)
+                flat_offsets[(t_idx, s_idx)] = (offset, h)
+                offset += h
+        counts_dev = jnp.concatenate(
+            [c.reshape(-1) for c in counts_flat] + [jnp.zeros((1,), jnp.uint32)]
+        )
+        denoms_dev = jnp.concatenate(
+            [d.reshape(-1, 4) for d in denoms_flat]
+            + [jnp.zeros((1, 4), jnp.uint32)]
+        )
+        sentinel = counts_dev.shape[0] - 1
+        H_logup = 1 << (l_skip + n_logup)
+        src = np.full(H_logup, sentinel, dtype=np.int64)
+        norm = np.zeros(H_logup, dtype=np.uint64)
+        for t_idx, s_idx, sl in inter_layout.sorted_cols:
+            base, h = flat_offsets[(t_idx, s_idx)]
+            length = 1 << sl.log_height  # layout threshold 0: no striding
+            reps = length // h
+            pos = sl.row_idx + np.arange(length)
+            src[pos] = base + (np.arange(length) % h)
+            norm[pos] = pow(reps, P - 2, P)
+        p_dev = jf.mul(
+            jnp.take(counts_dev, jnp.asarray(src)), jf.const_arr(norm)
+        )
+        p_dev = jnp.stack(
+            [p_dev] + [jnp.zeros_like(p_dev)] * 3, axis=-1
+        )  # embed base -> EF
+        q_dev = jnp.take(denoms_dev, jnp.asarray(src), axis=0)
+        q_dev = jf.ext_add(q_dev, jf.ext_const(alpha))
+        frac = fractional_sumcheck(transcript, p_dev, q_dev, assert_zero=True)
+    else:
+        frac = fractional_sumcheck(transcript, None, None)
+
+    xi = list(frac.xi)
+    n_global = max(n_max, n_logup)
+    while len(xi) != l_skip + n_global:
+        xi.append(transcript.sample_ext())
+    pv.xi = xi
+
+    # ---- batching challenge, eq_3b weights --------------------------------
+    lam = transcript.sample_ext()
+    max_num_constraints = max(len(t.dag.constraint_idx) for t in traces)
+    lambda_pows = hext.epowers(lam, max(max_num_constraints, 1))
+    lambda_pows_dev = jf.const_arr(lambda_pows)
+
+    eq_3b_per_trace: List[np.ndarray] = []
+    for t_idx, t in enumerate(traces):
+        if not t.dag.interactions:
+            eq_3b_per_trace.append(np.zeros((0, 4), dtype=U64))
+            continue
+        n_lift = t.n_lift
+        rows = []
+        for i in range(len(t.dag.interactions)):
+            sl = inter_layout.get(t_idx, i)
+            b_int = sl.row_idx >> (l_skip + n_lift)
+            bits = np.stack(
+                [
+                    hext.from_base((b_int >> j) & 1)
+                    for j in range(n_logup - n_lift)
+                ]
+            ) if n_logup > n_lift else np.zeros((0, 4), dtype=U64)
+            xi_seg = (
+                np.stack(xi[l_skip + n_lift : l_skip + n_logup])
+                if n_logup > n_lift
+                else np.zeros((0, 4), dtype=U64)
+            )
+            rows.append(hpoly.eval_eq_mle(xi_seg, bits))
+        eq_3b_per_trace.append(np.stack(rows))
+
+    # ---- selectors + per-trace part pairs (base, unfolded) ----------------
+    for t in traces:
+        t.sels = None  # set after round 0 fold
+
+    # ---- univariate round 0 ------------------------------------------------
+    sp0_logup: List[Tuple[np.ndarray, np.ndarray]] = []  # (numer, denom) coeffs
+    sp0_zc: List[np.ndarray] = []
+    g = GENERATOR
+
+    for t_idx, t in enumerate(traces):
+        n_lift = t.n_lift
+        eq_tab = pv.eq_table(l_skip, l_skip + n_lift)  # (2^n_lift, 4)
+        d_air = t.d_air
+        sels_base = selectors_matrix(t.height, l_skip)
+
+        def coset_grids(num_cosets: int):
+            shifts = [pow(g, c + 1, P) for c in range(num_cosets)]
+            sels_grid = coset_eval_chunks(sels_base, l_skip, shifts, False)
+            pairs = []
+            for m in t.base_parts():
+                local = coset_eval_chunks(m, l_skip, shifts, False)
+                nxt = (
+                    coset_eval_chunks(m, l_skip, shifts, True)
+                    if t.needs_next
+                    else None
+                )
+                pairs.append((local, nxt))
+            prep_pair = pairs[0] if t.has_preprocessed() else None
+            main_pairs = pairs[1:] if t.has_preprocessed() else pairs
+            return shifts, sels_grid, prep_pair, main_pairs
+
+        # zerocheck: (d_air - 1) cosets, divide by zerofier, interpolate q
+        num_zc_cosets = d_air - 1
+        sp0_deg_air = sumcheck_round0_deg(l_skip, d_air)
+        if num_zc_cosets == 0:
+            sp0_zc.append(np.zeros((sp0_deg_air + 1, 4), dtype=U64))
+        else:
+            shifts, sels_grid, prep_pair, main_pairs = coset_grids(num_zc_cosets)
+            ev = DeviceEvaluator(sels_grid, prep_pair, main_pairs, t.public_values, False)
+            acc = acc_constraints_device(t.dag, ev, lambda_pows_dev)
+            # weight by eq(xi, x) over chunks and sum
+            weighted = jf.ext_mul(acc, eq_tab[:, None, :])
+            sums = jf.ext_to_host(jf.ext_sum(weighted, axis=0))  # (B_z, 4)
+            # divide by zerofier (z^{2^l} - 1): depends only on the coset
+            zf = []
+            for c, sh in enumerate(shifts):
+                zf_val = (pow(sh, 1 << l_skip, P) - 1) % P
+                zf.extend([zf_val] * (1 << l_skip))
+            zf_inv = batch_inverse(np.array(zf, dtype=np.uint64))
+            q_evals = hext.escale(sums, zf_inv)
+            grid = q_evals.reshape(num_zc_cosets, 1 << l_skip, 4).transpose(1, 0, 2)
+            q_coeffs = hpoly.from_geometric_cosets_evals(grid, g, g)
+            coeffs = np.zeros((sp0_deg_air + 1, 4), dtype=U64)
+            nq = q_coeffs.shape[0]
+            for i in range(sp0_deg_air + 1):
+                c = hext.eneg(q_coeffs[i]) if i < nq else ZERO
+                if i >= (1 << l_skip) and i - (1 << l_skip) < nq:
+                    c = hext.eadd(c, q_coeffs[i - (1 << l_skip)])
+                coeffs[i] = c
+            sp0_zc.append(coeffs)
+
+        # logup: d_air cosets, interpolate numer/denom directly
+        if not t.dag.interactions:
+            sp0_logup.append(
+                (np.zeros((0, 4), dtype=U64), np.zeros((0, 4), dtype=U64))
+            )
+        else:
+            shifts, sels_grid, prep_pair, main_pairs = coset_grids(d_air)
+            ev = DeviceEvaluator(sels_grid, prep_pair, main_pairs, t.public_values, False)
+            numer, denom = acc_interactions_device(
+                t.dag,
+                ev,
+                beta_pows_dev,
+                jf.const_arr(bus_terms_host(t)),
+                jf.const_arr(eq_3b_per_trace[t_idx]),
+            )
+            numer = jf.ext_mul(numer, eq_tab[:, None, :])
+            denom = jf.ext_mul(denom, eq_tab[:, None, :])
+            n_sum = jf.ext_to_host(jf.ext_sum(numer, axis=0))
+            d_sum = jf.ext_to_host(jf.ext_sum(denom, axis=0))
+            grid_n = n_sum.reshape(d_air, 1 << l_skip, 4).transpose(1, 0, 2)
+            grid_d = d_sum.reshape(d_air, 1 << l_skip, 4).transpose(1, 0, 2)
+            numer_coeffs = hpoly.from_geometric_cosets_evals(grid_n, g, g)
+            denom_coeffs = hpoly.from_geometric_cosets_evals(grid_d, g, g)
+            norm = pow(1 << max(0, -t.n), P - 2, P)
+            numer_coeffs = hext.escale(
+                numer_coeffs, np.full(numer_coeffs.shape[0], norm, dtype=U64)
+            )
+            sp0_logup.append((numer_coeffs, denom_coeffs))
+
+    # ---- assemble s_0, observe sum claims ----------------------------------
+    s_deg = d_global + 1
+    sp0_deg = sumcheck_round0_deg(l_skip, d_global)
+    s0_deg = sumcheck_round0_deg(l_skip, s_deg)
+    big = 1 << (s0_deg + 1 - 1).bit_length() if s0_deg > 0 else 1
+
+    def pad(coeffs: np.ndarray, size: int) -> np.ndarray:
+        out = np.zeros((size, 4), dtype=U64)
+        k = min(coeffs.shape[0], sp0_deg + 1, size)
+        out[:k] = coeffs[:k]
+        return out
+
+    eq_sharp_coeffs = hpoly.eq_sharp_uni_poly(np.stack(xi[:l_skip]))
+    eq_sharp_evals = hpoly.dft_ef(pad_to(eq_sharp_coeffs, big))
+
+    s0_logup_polys: List[np.ndarray] = []  # 2*num_traces coeff arrays (big, 4)
+    for t_idx in range(num_traces):
+        for which in range(2):
+            sp = pad(sp0_logup[t_idx][which], big)
+            evals = hpoly.dft_ef(sp)
+            prod = hext.emul(evals, eq_sharp_evals)
+            s0_logup_polys.append(hpoly.idft_ef(prod))
+
+    numerator_term_per_air = []
+    denominator_term_per_air = []
+    for t_idx in range(num_traces):
+        for which in range(2):
+            coeffs = s0_logup_polys[2 * t_idx + which]
+            acc = ZERO
+            for j in range(0, s0_deg + 1, 1 << l_skip):
+                acc = hext.eadd(acc, coeffs[j])
+            claim = hext.escale(acc, 1 << l_skip)
+            if which == 0:
+                numerator_term_per_air.append(claim)
+            else:
+                denominator_term_per_air.append(claim)
+            transcript.observe_ext(claim)
+
+    mu = transcript.sample_ext()
+    mu_pows = hext.epowers(mu, 3 * num_traces)
+
+    eq_uni_coeffs = hpoly.eq_uni_poly(l_skip, xi[0])
+    eq_uni_evals = hpoly.dft_ef(pad_to(eq_uni_coeffs, big))
+    zc_batch = np.zeros((big, 4), dtype=U64)
+    for t_idx in range(num_traces):
+        sp = pad(sp0_zc[t_idx], big)
+        zc_batch = hext.eadd(
+            zc_batch, hext.emul(sp, np.broadcast_to(mu_pows[2 * num_traces + t_idx], (big, 4)))
+        )
+    zc_evals = hext.emul(hpoly.dft_ef(zc_batch), eq_uni_evals)
+    s0_zc_poly = hpoly.idft_ef(zc_evals)
+
+    s0_coeffs = np.zeros((s0_deg + 1, 4), dtype=U64)
+    for j in range(s0_deg + 1):
+        c = s0_zc_poly[j]
+        for t_idx in range(num_traces):
+            c = hext.eadd(
+                c, hext.emul(mu_pows[2 * t_idx], s0_logup_polys[2 * t_idx][j])
+            )
+            c = hext.eadd(
+                c,
+                hext.emul(mu_pows[2 * t_idx + 1], s0_logup_polys[2 * t_idx + 1][j]),
+            )
+        s0_coeffs[j] = c
+        transcript.observe_ext(c)
+
+    r: List[np.ndarray] = []
+    r0 = transcript.sample_ext()
+    r.append(r0)
+    prev_s_eval = hpoly.horner_eval(s0_coeffs, r0)
+
+    # ---- fold PLEs at r_0 ---------------------------------------------------
+    weights = jf.const_arr(barycentric_weights_host(l_skip, r0))
+    for t in traces:
+        pairs = []
+        for m in t.base_parts():
+            local = fold_ple(m, l_skip, False, weights)
+            nxt = fold_ple(m, l_skip, True, weights) if t.needs_next else None
+            pairs.append((local, nxt))
+        t.prep_pair = pairs[0] if t.has_preprocessed() else None
+        t.main_pairs = pairs[1:] if t.has_preprocessed() else pairs
+        t.sels = fold_ple(selectors_matrix(t.height, l_skip), l_skip, False, weights)
+
+    pv.eq_ns.append(hpoly.eval_eq_uni(l_skip, xi[0], r0))
+    pv.eq_sharp_ns.append(
+        hpoly.eval_eq_sharp_uni(l_skip, np.stack(xi[:l_skip]), r0)
+    )
+
+    # ---- multilinear rounds -------------------------------------------------
+    sumcheck_round_polys: List[List[np.ndarray]] = []
+    n_per_trace = [t.n for t in traces]
+
+    for rnd in range(1, n_max + 1):
+        r_prev = r[rnd - 1]
+        eq_r_acc = pv.eq_ns[rnd - 1]
+        eq_sharp_r_acc = pv.eq_sharp_ns[rnd - 1]
+        sp_zc_evals: List[List[np.ndarray]] = []
+        sp_logup_evals: List[List[np.ndarray]] = []
+
+        for t_idx, t in enumerate(traces):
+            n_lift = t.n_lift
+            has_int = bool(t.dag.interactions)
+            if rnd > n_lift:
+                if rnd == n_lift + 1:
+                    # pull folded single-point values to host, evaluate tail
+                    sels_h = jf.ext_to_host(t.sels[:, 0])
+                    parts_cols = []
+                    all_pairs = ([t.prep_pair] if t.prep_pair else []) + t.main_pairs
+                    for local, nxt in all_pairs:
+                        lh = jf.ext_to_host(local[:, 0])
+                        nh = jf.ext_to_host(nxt[:, 0]) if nxt is not None else None
+                        parts_cols.append(
+                            [
+                                (lh[c], nh[c] if nh is not None else None)
+                                for c in range(lh.shape[0])
+                            ]
+                        )
+                    prep_cols = parts_cols[0] if t.has_preprocessed() else None
+                    main_cols = (
+                        parts_cols[1:] if t.has_preprocessed() else parts_cols
+                    )
+                    hev = HostEvaluator(
+                        (sels_h[0], sels_h[1], sels_h[2]),
+                        prep_cols,
+                        main_cols,
+                        t.public_values,
+                    )
+                    t.zerocheck_tilde = hext.emul(
+                        eq_r_acc,
+                        acc_constraints_host(t.dag, hev, lambda_pows),
+                    )
+                    if has_int:
+                        numer, denom = acc_interactions_host(
+                            t.dag, hev, beta_pows, eq_3b_per_trace[t_idx]
+                        )
+                        norm = pow(1 << max(0, -t.n), P - 2, P)
+                        t.logup_tilde = [
+                            hext.escale(hext.emul(eq_sharp_r_acc, numer), norm),
+                            hext.emul(eq_sharp_r_acc, denom),
+                        ]
+                else:
+                    t.zerocheck_tilde = hext.emul(t.zerocheck_tilde, r_prev)
+                    if has_int:
+                        t.logup_tilde = [
+                            hext.emul(v, r_prev) for v in t.logup_tilde
+                        ]
+                sp_zc_evals.append([t.zerocheck_tilde])
+                if has_int:
+                    sp_logup_evals.append([t.logup_tilde[0]])
+                    sp_logup_evals.append([t.logup_tilde[1]])
+                else:
+                    sp_logup_evals.append([ZERO] * d_global)
+                    sp_logup_evals.append([ZERO] * d_global)
+            else:
+                eq_tab = pv.eq_table(l_skip + rnd, l_skip + n_lift)
+                zc_at: List[np.ndarray] = []
+                nm_at: List[np.ndarray] = []
+                dn_at: List[np.ndarray] = []
+                for x in range(1, d_global + 1):
+                    sels_x = interp_mle_at_int(t.sels, x)
+                    all_pairs = ([t.prep_pair] if t.prep_pair else []) + t.main_pairs
+                    pairs_x = [
+                        (
+                            interp_mle_at_int(local, x),
+                            interp_mle_at_int(nxt, x) if nxt is not None else None,
+                        )
+                        for local, nxt in all_pairs
+                    ]
+                    prep_x = pairs_x[0] if t.has_preprocessed() else None
+                    main_x = pairs_x[1:] if t.has_preprocessed() else pairs_x
+                    ev = DeviceEvaluator(sels_x, prep_x, main_x, t.public_values, True)
+                    acc = acc_constraints_device(t.dag, ev, lambda_pows_dev)
+                    zc_val = jf.ext_sum(jf.ext_mul(acc, eq_tab), axis=0)
+                    zc_at.append(jf.ext_to_host(zc_val))
+                    if has_int:
+                        numer, denom = acc_interactions_device(
+                            t.dag,
+                            ev,
+                            beta_pows_dev,
+                            jf.const_arr(bus_terms_host(t)),
+                            jf.const_arr(eq_3b_per_trace[t_idx]),
+                        )
+                        nm_at.append(
+                            jf.ext_to_host(
+                                jf.ext_sum(jf.ext_mul(numer, eq_tab), axis=0)
+                            )
+                        )
+                        dn_at.append(
+                            jf.ext_to_host(
+                                jf.ext_sum(jf.ext_mul(denom, eq_tab), axis=0)
+                            )
+                        )
+                sp_zc_evals.append(zc_at)
+                if has_int:
+                    norm = pow(1 << max(0, -t.n), P - 2, P)
+                    sp_logup_evals.append(
+                        [hext.escale(v, norm) for v in nm_at]
+                    )
+                    sp_logup_evals.append(dn_at)
+                else:
+                    sp_logup_evals.append([ZERO] * d_global)
+                    sp_logup_evals.append([ZERO] * d_global)
+
+        # front-loaded batching: head traces still active, tail exhausted
+        tail_start = num_traces
+        for i, n_t in enumerate(n_per_trace):
+            if rnd > n_t:
+                tail_start = i
+                break
+        sp_head_zc = [ZERO] * d_global
+        sp_head_logup = [ZERO] * d_global
+        sp_tail = ZERO
+        for t_idx in range(num_traces):
+            zc_i = 2 * num_traces + t_idx
+            nm_i = 2 * t_idx
+            dn_i = nm_i + 1
+            if t_idx < tail_start:
+                for i in range(d_global):
+                    sp_head_zc[i] = hext.eadd(
+                        sp_head_zc[i],
+                        hext.emul(mu_pows[zc_i], sp_zc_evals[t_idx][i]),
+                    )
+                    sp_head_logup[i] = hext.eadd(
+                        sp_head_logup[i],
+                        hext.eadd(
+                            hext.emul(mu_pows[nm_i], sp_logup_evals[nm_i][i]),
+                            hext.emul(mu_pows[dn_i], sp_logup_evals[dn_i][i]),
+                        ),
+                    )
+            else:
+                sp_tail = hext.eadd(
+                    sp_tail,
+                    hext.eadd(
+                        hext.emul(mu_pows[zc_i], sp_zc_evals[t_idx][0]),
+                        hext.eadd(
+                            hext.emul(mu_pows[nm_i], sp_logup_evals[nm_i][0]),
+                            hext.emul(mu_pows[dn_i], sp_logup_evals[dn_i][0]),
+                        ),
+                    ),
+                )
+
+        sp_head_evals = [ZERO] * s_deg
+        for i in range(d_global):
+            sp_head_evals[i + 1] = hext.eadd(
+                hext.emul(pv.eq_ns[rnd - 1], sp_head_zc[i]),
+                hext.emul(pv.eq_sharp_ns[rnd - 1], sp_head_logup[i]),
+            )
+        xi_cur = xi[l_skip + rnd - 1]
+        eq_xi_0 = hext.esub(hext.eone(), xi_cur)
+        eq_xi_1 = xi_cur
+        sp_head_evals[0] = hext.emul(
+            hext.esub(
+                hext.esub(prev_s_eval, hext.emul(eq_xi_1, sp_head_evals[1])),
+                sp_tail,
+            ),
+            hext.einv(eq_xi_0),
+        )
+        sp_head_coeffs = hpoly.lagrange_coeffs(
+            list(range(s_deg)), np.stack(sp_head_evals)
+        )
+        # batch_s(X) = eq(xi, X) * sp_head(X) + sp_tail * X
+        coeffs = np.concatenate(
+            [sp_head_coeffs, np.zeros((1, 4), dtype=U64)], axis=0
+        )
+        b_c = hext.esub(hext.eone(), xi_cur)
+        a_c = hext.esub(xi_cur, b_c)
+        for i in range(s_deg - 1, -1, -1):
+            coeffs[i + 1] = hext.eadd(
+                hext.emul(a_c, coeffs[i]), hext.emul(b_c, coeffs[i + 1])
+            )
+        coeffs[0] = hext.emul(coeffs[0], b_c)
+        coeffs[1] = hext.eadd(coeffs[1], sp_tail)
+        batch_evals = [
+            hpoly.horner_eval(coeffs, hext.from_base(i)) for i in range(1, s_deg + 1)
+        ]
+        for e in batch_evals:
+            transcript.observe_ext(e)
+        sumcheck_round_polys.append(batch_evals)
+
+        r_rnd = transcript.sample_ext()
+        r.append(r_rnd)
+        prev_s_eval = hpoly.horner_eval(coeffs, r_rnd)
+
+        # fold device matrices and update eq accumulators
+        r_dev = jf.ext_const(r_rnd)
+        for t in traces:
+            if t.sels.shape[1] > 1:
+                t.sels = fold_mle(t.sels, r_dev)
+                fold_pair = lambda p: (
+                    fold_mle(p[0], r_dev),
+                    fold_mle(p[1], r_dev) if p[1] is not None else None,
+                )
+                if t.prep_pair is not None:
+                    t.prep_pair = fold_pair(t.prep_pair)
+                t.main_pairs = [fold_pair(p) for p in t.main_pairs]
+        eq_mle = hpoly.eval_eq_mle(
+            xi_cur.reshape(1, 4), r_rnd.reshape(1, 4)
+        )
+        pv.eq_ns.append(hext.emul(pv.eq_ns[rnd - 1], eq_mle))
+        pv.eq_sharp_ns.append(hext.emul(pv.eq_sharp_ns[rnd - 1], eq_mle))
+
+    # ---- column openings ----------------------------------------------------
+    column_openings: List[List[List[np.ndarray]]] = []
+    for t in traces:
+        all_pairs = ([t.prep_pair] if t.prep_pair else []) + t.main_pairs
+        part_openings = []
+        for local, nxt in all_pairs:
+            lh = jf.ext_to_host(local[:, 0])  # (w, 4)
+            if t.needs_next:
+                nh = jf.ext_to_host(nxt[:, 0])
+                flat = []
+                for c in range(lh.shape[0]):
+                    flat.extend([lh[c], nh[c]])
+            else:
+                flat = [lh[c] for c in range(lh.shape[0])]
+            part_openings.append(flat)
+        # reorder: common main first, then preprocessed, then cached
+        common = part_openings[-1]
+        rest = part_openings[:-1]
+        column_openings.append([common] + rest)
+
+    # observe: all common-main openings first, then other parts per trace
+    for t_idx, t in enumerate(traces):
+        from ..proof import column_openings_by_rot
+
+        for claim, claim_rot in column_openings_by_rot(
+            column_openings[t_idx][0], t.needs_next
+        ):
+            transcript.observe_ext(claim)
+            transcript.observe_ext(claim_rot)
+    for t_idx, t in enumerate(traces):
+        from ..proof import column_openings_by_rot
+
+        for part in column_openings[t_idx][1:]:
+            for claim, claim_rot in column_openings_by_rot(part, t.needs_next):
+                transcript.observe_ext(claim)
+                transcript.observe_ext(claim_rot)
+
+    batch_proof = BatchConstraintProof(
+        numerator_term_per_air=numerator_term_per_air,
+        denominator_term_per_air=denominator_term_per_air,
+        univariate_round_coeffs=[s0_coeffs[j] for j in range(s0_deg + 1)],
+        sumcheck_round_polys=sumcheck_round_polys,
+        column_openings=column_openings,
+    )
+    gkr_proof = GkrProof(
+        logup_pow_witness=logup_pow_witness,
+        q0_claim=frac.fractional_sum[1],
+        claims_per_layer=frac.claims_per_layer,
+        sumcheck_polys=frac.sumcheck_polys,
+    )
+    return gkr_proof, batch_proof, r
+
+
+def pad_to(coeffs: np.ndarray, size: int) -> np.ndarray:
+    out = np.zeros((size, 4), dtype=np.uint64)
+    k = min(coeffs.shape[0], size)
+    out[:k] = coeffs[:k]
+    return out

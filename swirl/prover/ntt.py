@@ -18,6 +18,7 @@ from __future__ import annotations
 from functools import lru_cache
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..fields import jfield as jf
@@ -50,6 +51,10 @@ def _mul_maybe_ext(x, tw, ext: bool):
     return jf.mul(x, tw)
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("inverse", "ext"))
 def ntt(x, inverse: bool = False, ext: bool = False):
     """DFT along the trailing data axis (axis -1, or -2 for ext arrays).
 

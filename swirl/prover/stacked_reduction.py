@@ -1,0 +1,357 @@
+"""Stacked opening reduction: batch sumcheck reducing per-trace column (and
+rotated-column) opening claims at the prism point r to openings of the
+stacked matrix columns at a fresh prism point u.
+
+Cf. reference ``crates/stark-backend/src/prover/stacked_reduction.rs``. The
+device computes the per-group (same trace log-height) reduction grids and
+folds; the host combines the z-dependent univariate kernels and runs the
+transcript.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..fields import ext as hext
+from ..fields import jfield as jf
+from ..fields.babybear import GENERATOR, P, U64, roots_of_unity, two_adic_generator
+from ..params import SystemParams
+from ..proof import StackingProof
+from ..transcript import Transcript
+from .. import poly as hpoly
+from .stacked_pcs import StackedPcsData, StackedSlice
+from .sumcheck import (
+    barycentric_weights_host,
+    coset_eval_chunks,
+    eq_hypercube_dev,
+    fold_mle,
+    fold_mle_vec,
+)
+
+
+@dataclass
+class TraceView:
+    com_idx: int
+    slice: StackedSlice
+    lambda_eq_idx: int
+    lambda_rot_idx: Optional[int]
+
+
+def prove_stacked_opening_reduction(
+    transcript: Transcript,
+    params: SystemParams,
+    stacked_per_commit: List[StackedPcsData],
+    need_rot_per_commit: List[List[bool]],
+    r: List[np.ndarray],
+) -> Tuple[StackingProof, List[np.ndarray]]:
+    l_skip = params.l_skip
+    n_stack = params.n_stack
+    omega_skip = two_adic_generator(l_skip)
+    lam = transcript.sample_ext()
+
+    # trace views with lambda slot assignment (eq at 2i, rot at 2i+1)
+    trace_views: List[TraceView] = []
+    lam_idx = 0
+    for com_idx, d in enumerate(stacked_per_commit):
+        need_rot = need_rot_per_commit[com_idx]
+        for mat_idx, _col, sl in d.layout.sorted_cols:
+            rot_idx = lam_idx + 1 if need_rot[mat_idx] else None
+            trace_views.append(TraceView(com_idx, sl, lam_idx, rot_idx))
+            lam_idx += 2
+    lambda_pows = hext.epowers(lam, lam_idx if lam_idx else 1)
+
+    # group consecutive views by log_height
+    groups: List[Tuple[int, int]] = []
+    start = 0
+    for i in range(1, len(trace_views) + 1):
+        if (
+            i == len(trace_views)
+            or trace_views[i].slice.log_height != trace_views[start].slice.log_height
+        ):
+            groups.append((start, i))
+            start = i
+
+    r0 = r[0]
+    eq_const = hpoly.eval_eq_uni_at_one(
+        l_skip, hext.escale(r0, omega_skip)
+    )
+
+    # eq(r[1..1+n_lift], -) tables per log-height (device)
+    eq_r_per_lht: Dict[int, jnp.ndarray] = {}
+    for tv in trace_views:
+        lht = tv.slice.log_height
+        if lht not in eq_r_per_lht:
+            n_lift = max(lht - l_skip, 0)
+            vec = (
+                np.stack(r[1 : 1 + n_lift])
+                if n_lift
+                else np.zeros((0, 4), dtype=U64)
+            )
+            eq_r_per_lht[lht] = eq_hypercube_dev(vec)
+
+    # lambda weight arrays per group (device)
+    def group_weights(s: int, e: int):
+        lam_eq = np.stack([lambda_pows[trace_views[i].lambda_eq_idx] for i in range(s, e)])
+        lam_rot = np.stack(
+            [
+                lambda_pows[trace_views[i].lambda_rot_idx]
+                if trace_views[i].lambda_rot_idx is not None
+                else hext.ezero()
+                for i in range(s, e)
+            ]
+        )
+        return jf.const_arr(lam_eq), jf.const_arr(lam_rot)
+
+    # ---- univariate round 0 -------------------------------------------------
+    g = GENERATOR
+    shifts = [pow(g, c + 1, P) for c in range(2)]
+    B_z = 2 << l_skip
+    z_points = []
+    w_pows = roots_of_unity(l_skip)
+    for sh in shifts:
+        for i in range(1 << l_skip):
+            z_points.append(sh * int(w_pows[i]) % P)
+
+    total_evals = np.zeros((B_z, 4), dtype=U64)
+    for s, e in groups:
+        lht = trace_views[s].slice.log_height
+        n = lht - l_skip
+        n_lift = max(n, 0)
+        lam_eq_dev, lam_rot_dev = group_weights(s, e)
+        eq_tab = eq_r_per_lht[lht]  # (2^n_lift, 4)
+        krot_tab = jnp.roll(eq_tab, 1, axis=0)
+        # q column slices (full, non-strided): (G, slice_len)
+        cols = []
+        for i in range(s, e):
+            tv = trace_views[i]
+            mat = stacked_per_commit[tv.com_idx].matrix
+            sl = tv.slice
+            cols.append(
+                jax_slice(mat, sl.col_idx, sl.row_idx, sl.length(l_skip))
+            )
+        q_grid = coset_eval_chunks(jnp.stack(cols), l_skip, shifts, False)
+        # (G, 2^n_lift, B_z); reduce with lambda/eq weights
+        a_vec = reduce_zx(q_grid, lam_eq_dev, eq_tab)  # sum lam_eq * eq_x * q
+        b_vec = reduce_zx(q_grid, lam_rot_dev, eq_tab)
+        c_vec = reduce_zx(
+            q_grid, lam_rot_dev, jf.ext_sub(krot_tab, eq_tab)
+        )
+        a_h, b_h, c_h = (jf.ext_to_host(v) for v in (a_vec, b_vec, c_vec))
+        # host z-dependent kernels
+        if n < 0:
+            l_eff = l_skip + n
+            omega_eff = pow(omega_skip, 1 << (-n), P)
+            r_eff = hext.epow(r0, 1 << (-n))
+        else:
+            l_eff, omega_eff, r_eff = l_skip, omega_skip, r0
+        for zi, z in enumerate(z_points):
+            z_ef = hext.from_base(z)
+            ind = hpoly.eval_in_uni(l_skip, n, z_ef)
+            eq_uni_r0 = hpoly.eval_eq_uni(l_eff, z_ef, r_eff)
+            eq_uni_r0_rot = hpoly.eval_eq_uni(
+                l_eff, z_ef, hext.escale(r_eff, omega_eff)
+            )
+            eq_uni_1 = hpoly.eval_eq_uni_at_one(l_skip, z_ef)
+            term = hext.emul(eq_uni_r0, a_h[zi])
+            term = hext.eadd(term, hext.emul(eq_uni_r0_rot, b_h[zi]))
+            term = hext.eadd(
+                term, hext.emul(hext.emul(eq_const, eq_uni_1), c_h[zi])
+            )
+            total_evals[zi] = hext.eadd(total_evals[zi], hext.emul(term, ind))
+
+    grid = total_evals.reshape(2, 1 << l_skip, 4).transpose(1, 0, 2)
+    s0_coeffs_full = hpoly.from_geometric_cosets_evals(grid, g, g)
+    s0_deg = 2 * ((1 << l_skip) - 1)
+    s0_coeffs = s0_coeffs_full[: s0_deg + 1]
+    for c in s0_coeffs:
+        transcript.observe_ext(c)
+
+    u: List[np.ndarray] = []
+    u0 = transcript.sample_ext()
+    u.append(u0)
+
+    # ---- fold at u_0 ----------------------------------------------------------
+    from .sumcheck import fold_ple
+
+    weights = jf.const_arr(barycentric_weights_host(l_skip, u0))
+    q_evals = [
+        fold_ple(d.matrix, l_skip, False, weights) for d in stacked_per_commit
+    ]
+
+    eq_uni_u0r0 = hpoly.eval_eq_uni(l_skip, u0, r0)
+    eq_uni_u0r0_rot = hpoly.eval_eq_uni(
+        l_skip, u0, hext.escale(r0, omega_skip)
+    )
+    eq_uni_u01 = hpoly.eval_eq_uni_at_one(l_skip, u0)
+
+    k_rot_per_lht: Dict[int, jnp.ndarray] = {}
+    for lht, tab in list(eq_r_per_lht.items()):
+        n = lht - l_skip
+        n_lift = max(n, 0)
+        ind = hpoly.eval_in_uni(l_skip, n, u0)
+        if n < 0:
+            omega_eff = pow(omega_skip, 1 << (-n), P)
+            r_eff = hext.epow(r0, 1 << (-n))
+            l_eff = l_skip + n
+            eq_uni = hpoly.eval_eq_uni(l_eff, u0, r_eff)
+            eq_uni_rot = hpoly.eval_eq_uni(
+                l_eff, u0, hext.escale(r_eff, omega_eff)
+            )
+        else:
+            eq_uni, eq_uni_rot = eq_uni_u0r0, eq_uni_u0r0_rot
+        krot_gather = jnp.roll(tab, 1, axis=0)
+        c1 = jf.ext_const(hext.emul(ind, eq_uni_rot))
+        c2 = jf.ext_const(hext.emul(ind, hext.emul(eq_const, eq_uni_u01)))
+        k_rot_per_lht[lht] = jf.ext_add(
+            jf.ext_mul(c1, tab),
+            jf.ext_mul(c2, jf.ext_sub(krot_gather, tab)),
+        )
+        eq_r_per_lht[lht] = jf.ext_mul(
+            jf.ext_const(hext.emul(ind, eq_uni)), tab
+        )
+
+    eq_ub = [hext.eone() for _ in trace_views]
+
+    # ---- rounds 1..n_stack ----------------------------------------------------
+    sumcheck_round_polys: List[List[np.ndarray]] = []
+    for rnd in range(1, n_stack + 1):
+        s_evals = [hext.ezero(), hext.ezero()]
+        for s, e in groups:
+            lht = trace_views[s].slice.log_height
+            n_lift = max(lht - l_skip, 0)
+            hd = max(n_lift - rnd, 0)
+            eq_tab = eq_r_per_lht[lht]
+            krot_tab = k_rot_per_lht[lht]
+            if rnd <= n_lift:
+                lam_eq_dev, lam_rot_dev = group_weights(s, e)
+                cols = []
+                for i in range(s, e):
+                    tv = trace_views[i]
+                    sl = tv.slice
+                    row_start = (sl.row_idx >> lht) << (hd + 1)
+                    cols.append(
+                        jax_slice_ext(
+                            q_evals[tv.com_idx], sl.col_idx, row_start, 2 << hd
+                        )
+                    )
+                q_grid = jnp.stack(cols)  # (G, 2<<hd, 4)
+                for xi, x in enumerate((1, 2)):
+                    q_x = interp_pairs(q_grid, x)  # (G, 2^hd, 4)
+                    eq_x = interp_pairs(eq_tab[None], x)[0]  # (2^hd, 4)
+                    krot_x = interp_pairs(krot_tab[None], x)[0]
+                    w = jf.ext_add(
+                        jf.ext_mul(lam_eq_dev[:, None, :], eq_x[None]),
+                        jf.ext_mul(lam_rot_dev[:, None, :], krot_x[None]),
+                    )
+                    val = jf.ext_sum(
+                        jf.ext_sum(jf.ext_mul(q_x, w), axis=1), axis=0
+                    )
+                    s_evals[xi] = hext.eadd(s_evals[xi], jf.ext_to_host(val))
+            else:
+                eq0 = jf.ext_to_host(eq_tab[0])
+                krot0 = jf.ext_to_host(krot_tab[0])
+                for i in range(s, e):
+                    tv = trace_views[i]
+                    sl = tv.slice
+                    row_start = (sl.row_idx >> (l_skip + rnd)) << 1
+                    q_pair = jf.ext_to_host(
+                        jax_slice_ext(q_evals[tv.com_idx], sl.col_idx, row_start, 2)
+                    )
+                    b = (sl.row_idx >> (l_skip + rnd - 1)) & 1
+                    for xi, x in enumerate((1, 2)):
+                        q_x = hext.eadd(
+                            q_pair[0],
+                            hext.escale(hext.esub(q_pair[1], q_pair[0]), x),
+                        )
+                        eqb = hpoly.eval_eq_mle(
+                            hext.from_base(x).reshape(1, 4),
+                            hext.from_base(b).reshape(1, 4),
+                        )
+                        ub = hext.emul(eq_ub[i], eqb)
+                        acc = hext.emul(
+                            lambda_pows[tv.lambda_eq_idx],
+                            hext.emul(q_x, hext.emul(eq0, ub)),
+                        )
+                        if tv.lambda_rot_idx is not None:
+                            acc = hext.eadd(
+                                acc,
+                                hext.emul(
+                                    lambda_pows[tv.lambda_rot_idx],
+                                    hext.emul(q_x, hext.emul(krot0, ub)),
+                                ),
+                            )
+                        s_evals[xi] = hext.eadd(s_evals[xi], acc)
+
+        for ev in s_evals:
+            transcript.observe_ext(ev)
+        sumcheck_round_polys.append(list(s_evals))
+        u_rnd = transcript.sample_ext()
+        u.append(u_rnd)
+        u_dev = jf.ext_const(u_rnd)
+        q_evals = [fold_mle(q, u_dev) for q in q_evals]
+        eq_r_per_lht = {
+            lht: fold_mle_vec(tab, u_dev) if tab.shape[0] > 1 else tab
+            for lht, tab in eq_r_per_lht.items()
+        }
+        k_rot_per_lht = {
+            lht: fold_mle_vec(tab, u_dev) if tab.shape[0] > 1 else tab
+            for lht, tab in k_rot_per_lht.items()
+        }
+        for i, tv in enumerate(trace_views):
+            n_lift = max(tv.slice.log_height - l_skip, 0)
+            if rnd > n_lift:
+                b = (tv.slice.row_idx >> (l_skip + rnd - 1)) & 1
+                eq_ub[i] = hext.emul(
+                    eq_ub[i],
+                    hpoly.eval_eq_mle(
+                        u_rnd.reshape(1, 4), hext.from_base(b).reshape(1, 4)
+                    ),
+                )
+
+    stacking_openings = []
+    for q in q_evals:
+        host = jf.ext_to_host(q[:, 0])  # (W, 4)
+        opens = [host[c] for c in range(host.shape[0])]
+        for c in opens:
+            transcript.observe_ext(c)
+        stacking_openings.append(opens)
+
+    proof = StackingProof(
+        univariate_round_coeffs=[c for c in s0_coeffs],
+        sumcheck_round_polys=sumcheck_round_polys,
+        stacking_openings=stacking_openings,
+    )
+    return proof, u
+
+
+def jax_slice(mat, col: int, row: int, length: int):
+    return jax_dynamic(mat[col], row, length)
+
+
+def jax_slice_ext(mat, col: int, row: int, length: int):
+    return jax_dynamic(mat[col], row, length)
+
+
+def jax_dynamic(vec, start: int, length: int):
+    return vec[start : start + length]
+
+
+def reduce_zx(q_grid, lam_dev, x_tab):
+    """sum over (group, x) of lam[g] * x_tab[x] * q[g, x, z] -> (B_z, 4)."""
+    w = jf.ext_mul(lam_dev[:, None, :], x_tab[None, :, :])  # (G, 2^n, 4)
+    prod = jf.mul(q_grid[..., None], w[:, :, None, :])  # q base * EF
+    return jf.ext_sum(jf.ext_sum(prod, axis=0), axis=0)
+
+
+def interp_pairs(tab, x: int):
+    """(..., 2m, 4) -> (..., m, 4) evaluated at integer X via pair interp."""
+    shape = tab.shape
+    pairs = tab.reshape(shape[:-2] + (shape[-2] // 2, 2, 4))
+    t0, t1 = pairs[..., 0, :], pairs[..., 1, :]
+    if x == 1:
+        return t1
+    return jf.ext_add(t0, jf.ext_scale(jf.ext_sub(t1, t0), jf.const(x)))

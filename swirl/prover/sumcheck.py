@@ -1,0 +1,225 @@
+"""Device-side sumcheck building blocks (JAX).
+
+The sumcheck workloads of SWIRL (constraint batch sumcheck, GKR layers,
+stacked reduction, WHIR folds) share a few primitives, implemented here as
+batched array programs over the trailing "hypercube" axis:
+
+- ``fold_ple``: evaluate prismalinear columns at a univariate point r
+  (the univariate-skip round fold) via barycentric interpolation over each
+  2^l_skip chunk, with optional rotation and cyclic lifting of short traces.
+- ``fold_mle``: the standard multilinear fold t(y) = t0 + (t1 - t0) * r.
+- ``eq_hypercube_dev`` / ``mobius_eq_hypercube_dev``: iterative-doubling
+  weight tables in EF on device.
+- ``coset_eval_chunks``: per-chunk iDFT + coset DFT batched over columns,
+  the heavy step of univariate-skip round 0.
+
+Matrices: base (w, h) / extension (w, h, 4) uint32 Monty arrays; the
+hypercube/prism index is the trailing data axis.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..fields import ext as hext
+from ..fields import jfield as jf
+from ..fields.babybear import P, U64, batch_inverse, roots_of_unity
+from .ntt import coset_ntt, intt
+
+
+def barycentric_weights_host(l_skip: int, r: np.ndarray) -> np.ndarray:
+    """Host EF weights c_i with p(r) = sum_i c_i * p(w^i) for deg < 2^l_skip.
+
+    c_i = (r^N - 1)/N * w^i / (r - w^i), N = 2^l_skip.
+    """
+    n = 1 << l_skip
+    omega = roots_of_unity(l_skip)  # (n,)
+    r = np.asarray(r, U64)
+    rn = hext.epow(r, n)
+    pref = hext.escale(hext.esub(rn, hext.eone()), pow(n, P - 2, P))
+    denoms = np.stack([hext.esub(r, hext.from_base(int(w))) for w in omega])
+    # batch invert EF via single elements (small n)
+    weights = np.zeros((n, 4), dtype=U64)
+    for i in range(n):
+        inv = hext.einv(denoms[i])
+        weights[i] = hext.escale(hext.emul(pref, inv), int(omega[i]))
+    return weights
+
+
+def lift_mat(mat, l_skip: int):
+    """Cyclically tile a (w, h[,4]) matrix to height >= 2^l_skip."""
+    h = mat.shape[1]
+    if h >= 1 << l_skip:
+        return mat
+    reps = (1 << l_skip) // h
+    tiles = (reps,) + (1,) * (mat.ndim - 2)
+    return jnp.tile(mat, (1,) + tiles)
+
+
+def rot1(mat):
+    """Rotate rows by one: out[i] = mat[(i + 1) % h] along axis 1."""
+    return jnp.roll(mat, -1, axis=1)
+
+
+def fold_ple(mat, l_skip: int, is_rot: bool, weights_dev):
+    """Fold prismalinear evaluations at r (weights from
+    :func:`barycentric_weights_host`, converted to device).
+
+    mat: (w, h) base or (w, h, 4) EF; returns (w, lifted_h >> l_skip, 4) EF.
+    """
+    is_ext = mat.ndim == 3
+    if is_rot:
+        mat = rot1(mat)
+    mat = lift_mat(mat, l_skip)
+    w = mat.shape[0]
+    h = mat.shape[1]
+    n_chunks = h >> l_skip
+    if is_ext:
+        chunks = mat.reshape(w, n_chunks, 1 << l_skip, 4)
+        prods = jf.ext_mul(chunks, weights_dev[None, None, :, :])
+    else:
+        chunks = mat.reshape(w, n_chunks, 1 << l_skip)
+        prods = jf.mul(chunks[..., None], weights_dev[None, None, :, :])
+    return jf.ext_sum(prods, axis=2)
+
+
+def fold_mle(mat, r_dev):
+    """(w, h, 4) -> (w, h/2, 4): t0 + (t1 - t0) * r."""
+    w, h = mat.shape[0], mat.shape[1]
+    if h <= 1:
+        return mat
+    pairs = mat.reshape(w, h // 2, 2, 4)
+    t0 = pairs[:, :, 0]
+    t1 = pairs[:, :, 1]
+    return jf.ext_add(t0, jf.ext_mul(jf.ext_sub(t1, t0), r_dev))
+
+
+def fold_mle_vec(vec, r_dev):
+    """(h, 4) -> (h/2, 4)."""
+    h = vec.shape[0]
+    if h <= 1:
+        return vec
+    pairs = vec.reshape(h // 2, 2, 4)
+    t0, t1 = pairs[:, 0], pairs[:, 1]
+    return jf.ext_add(t0, jf.ext_mul(jf.ext_sub(t1, t0), r_dev))
+
+
+def interp_mle_at_int(mat, x: int):
+    """Evaluate MLE pairs at small integer X: t0 + (t1 - t0) * X.
+
+    mat (w, h, 4) -> (w, h/2, 4). X is a compile-time int.
+    """
+    w, h = mat.shape[0], mat.shape[1]
+    pairs = mat.reshape(w, h // 2, 2, 4)
+    t0, t1 = pairs[:, :, 0], pairs[:, :, 1]
+    if x == 0:
+        return t0
+    if x == 1:
+        return t1
+    return jf.ext_add(t0, jf.ext_scale(jf.ext_sub(t1, t0), jf.const(x)))
+
+
+def interp_mle_at_int_base(mat, x: int):
+    """Base-field variant: (w, h) -> (w, h/2)."""
+    w, h = mat.shape[0], mat.shape[1]
+    pairs = mat.reshape(w, h // 2, 2)
+    t0, t1 = pairs[:, :, 0], pairs[:, :, 1]
+    if x == 0:
+        return t0
+    if x == 1:
+        return t1
+    return jf.add(t0, jf.mul(jf.sub(t1, t0), jf.const(x)))
+
+
+def eq_hypercube_dev(xi_host: np.ndarray):
+    """eq(xi, y) table over H_n on device: (2^n, 4) from host EF vector."""
+    xi = np.asarray(xi_host, U64).reshape(-1, 4)
+    out = jf.ext_const(hext.eone()).reshape(1, 4)
+    for i in range(xi.shape[0]):
+        x = jf.ext_const(xi[i])
+        one_minus = jf.ext_const(hext.esub(hext.eone(), xi[i]))
+        lo = jf.ext_mul(out, one_minus)
+        hi = jf.ext_mul(out, x)
+        # mask bit i is the *low* bit direction: interleave (lo_y, hi_y)?
+        # convention: table[mask], bit i of mask <-> xi[i]; building from
+        # bit 0 upward means new bit is the high bit of the doubled table.
+        out = jnp.concatenate([lo, hi], axis=0)
+    return out
+
+
+def mobius_eq_hypercube_dev(u_host: np.ndarray):
+    """Möbius-adjusted eq table over H_n on device: weights (1-2u_i, u_i)."""
+    u = np.asarray(u_host, U64).reshape(-1, 4)
+    out = jf.ext_const(hext.eone()).reshape(1, 4)
+    one = hext.eone()
+    for i in range(u.shape[0]):
+        w0 = jf.ext_const(hext.esub(one, hext.eadd(u[i], u[i])))
+        w1 = jf.ext_const(u[i])
+        lo = jf.ext_mul(out, w0)
+        hi = jf.ext_mul(out, w1)
+        out = jnp.concatenate([lo, hi], axis=0)
+    return out
+
+
+def eq_pows_hypercube_dev(z_host: np.ndarray, n: int, base_field: bool):
+    """eq(pow(z), y) table where pow(z) = (z, z^2, z^4, ...): (2^n, 4).
+
+    Equivalently eq table at the vector of repeated squarings of z.
+    """
+    if base_field:
+        z = int(z_host) % P
+        pows = []
+        cur = z
+        for _ in range(n):
+            pows.append(hext.from_base(cur))
+            cur = cur * cur % P
+        vec = np.stack(pows) if n else np.zeros((0, 4), dtype=U64)
+    else:
+        vec = np.stack(
+            [x for x in _ext_pows_of_2(np.asarray(z_host, U64), n)]
+        ) if n else np.zeros((0, 4), dtype=U64)
+    return eq_hypercube_dev(vec)
+
+
+def _ext_pows_of_2(z: np.ndarray, n: int):
+    cur = z
+    for _ in range(n):
+        yield cur
+        cur = hext.emul(cur, cur)
+
+
+def coset_eval_chunks(mat, l_skip: int, coset_shifts: Sequence[int], is_rot: bool):
+    """Univariate-skip round-0 evaluation grid.
+
+    mat: (w, h) base-field trace columns (h is the true height; lifted if
+    short). For each hypercube point x (the chunk index) the degree <2^l_skip
+    polynomial through the chunk values is evaluated on the cosets
+    ``shift * D`` for each shift.
+
+    Returns (w, n_chunks, n_shifts << l_skip) base-field evals where the
+    trailing index is z_int = coset_idx * 2^l_skip + z_idx — i.e. grouped by
+    coset, matching the host interpolation layout.
+    """
+    if is_rot:
+        mat = rot1(mat)
+    mat = lift_mat(mat, l_skip)
+    w, h = mat.shape
+    n_chunks = h >> l_skip
+    chunks = mat.reshape(w, n_chunks, 1 << l_skip)
+    coeffs = intt(chunks)
+    outs = [coset_ntt(coeffs, s) for s in coset_shifts]
+    return jnp.concatenate(outs, axis=2)
+
+
+def selectors_matrix(height: int, l_skip: int):
+    """(3, lifted_height) base selectors [is_first, is_transition, is_last]
+    of the lift of a height-`height` trace."""
+    lifted = max(height, 1 << l_skip)
+    idx = np.arange(lifted) % height
+    is_first = (idx == 0).astype(np.uint64)
+    is_last = (idx == height - 1).astype(np.uint64)
+    is_transition = 1 - is_last
+    return jf.const_arr(np.stack([is_first, is_transition, is_last]))

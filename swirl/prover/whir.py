@@ -1,0 +1,214 @@
+"""WHIR opening proof (device compute, host transcript).
+
+Batches all committed stacked columns into one MLE with mu powers, then per
+WHIR round: k sumcheck folds of sum_x f(x) * w(x), commit RS(g) (NTT +
+Merkle over EF), out-of-domain evaluation, PoW + in-domain queries with
+Merkle openings, and the gamma update of the weight polynomial. Cf.
+reference ``crates/stark-backend/src/prover/whir.rs``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..fields import ext as hext
+from ..fields import jfield as jf
+from ..fields.babybear import P, U64, two_adic_generator
+from ..params import SystemParams
+from ..proof import WhirProof
+from ..transcript import Transcript
+from .merkle import build_merkle_tree, get_opened_rows
+from .ntt import mobius_transform, ntt, zeta_transform
+from .stacked_pcs import StackedPcsData, rs_message
+from .sumcheck import eq_pows_hypercube_dev, fold_mle_vec, mobius_eq_hypercube_dev
+
+
+def _pow_table(z_host: np.ndarray, m: int, base_field: bool):
+    """Device table T[S] = z^S for S < 2^m (via the eq-table doubling with
+    factors (1, z^{2^i}))."""
+    # eq table at pow(z) with weights (1, z^{2^i}): reuse eq with x_i = ...
+    # simpler: iterative doubling directly
+    out = jf.ext_const(hext.eone()).reshape(1, 4)
+    cur = hext.from_base(int(z_host)) if base_field else np.asarray(z_host, U64)
+    for _ in range(m):
+        c = jf.ext_const(cur)
+        hi = jf.ext_mul(out, c)
+        out = jnp.concatenate([out, hi], axis=0)
+        cur = hext.emul(cur, cur)
+    return out
+
+
+def prove_whir_opening(
+    transcript: Transcript,
+    params: SystemParams,
+    committed: Sequence[StackedPcsData],
+    u: List[np.ndarray],
+) -> WhirProof:
+    whir = params.whir
+    l_skip = params.l_skip
+    log_blowup = params.log_blowup
+    k = whir.k
+    num_rounds = whir.num_whir_rounds()
+
+    mu_pow_witness = transcript.grind(whir.mu_pow_bits)
+    mu = transcript.sample_ext()
+    total_width = sum(int(d.matrix.shape[0]) for d in committed)
+    mu_pows = hext.epowers(mu, total_width)
+
+    m = int(committed[0].matrix.shape[1]).bit_length() - 1
+    log_rs = m + log_blowup
+
+    # f = sum_j mu^j * hatF_j, hatF_j = zeta-transform of the RS message
+    f_evals = None
+    off = 0
+    for d in committed:
+        w = int(d.matrix.shape[0])
+        msg = rs_message(l_skip, d.matrix)
+        hatf = zeta_transform(msg, m)  # (w, 2^m) base
+        mu_dev = jf.const_arr(mu_pows[off : off + w])  # (w, 4)
+        contrib = jf.ext_sum(jf.mul(hatf[:, :, None], mu_dev[:, None, :]), axis=0)
+        f_evals = contrib if f_evals is None else jf.ext_add(f_evals, contrib)
+        off += w
+    w_evals = mobius_eq_hypercube_dev(np.stack(u))  # (2^m, 4)
+
+    whir_sumcheck_polys: List[List[np.ndarray]] = []
+    codeword_commits: List[np.ndarray] = []
+    ood_values: List[np.ndarray] = []
+    folding_pow_witnesses: List[int] = []
+    query_phase_pow_witnesses: List[int] = []
+    initial_opened_rows: List[List[np.ndarray]] = [[] for _ in committed]
+    initial_merkle_proofs: List[List[List[np.ndarray]]] = [[] for _ in committed]
+    codeword_opened_values: List[List[np.ndarray]] = []
+    codeword_merkle_proofs: List[List[List[np.ndarray]]] = []
+    final_poly = None
+    rs_tree = None
+    rs_codeword = None  # device (1, H, 4)
+
+    cur_m = m
+    for whir_round in range(num_rounds):
+        is_last = whir_round == num_rounds - 1
+        num_queries = whir.rounds[whir_round].num_queries
+
+        for _ in range(k):
+            # degree-2 sumcheck round over f*w
+            evals = []
+            for x in (1, 2):
+                fx = _interp_vec(f_evals, x)
+                wx = _interp_vec(w_evals, x)
+                evals.append(
+                    jf.ext_to_host(jf.ext_sum(jf.ext_mul(fx, wx), axis=0))
+                )
+            for e in evals:
+                transcript.observe_ext(e)
+            whir_sumcheck_polys.append(evals)
+            folding_pow_witnesses.append(transcript.grind(whir.folding_pow_bits))
+            alpha = transcript.sample_ext()
+            a_dev = jf.ext_const(alpha)
+            f_evals = fold_mle_vec(f_evals, a_dev)
+            w_evals = fold_mle_vec(w_evals, a_dev)
+        cur_m -= k
+
+        # g = current f; commit RS(g) unless final round
+        g_coeffs = mobius_transform(f_evals[None], cur_m, ext=True)[0]  # (2^cur_m, 4)
+        z0 = None
+        if not is_last:
+            padded = jnp.concatenate(
+                [
+                    g_coeffs,
+                    jnp.zeros(((1 << (log_rs - 1)) - (1 << cur_m), 4), jnp.uint32),
+                ],
+                axis=0,
+            )
+            g_rs = ntt(padded[None], ext=True)  # (1, H, 4)
+            g_tree = build_merkle_tree(g_rs, 1 << k, ext=True)
+            g_commit = g_tree.root
+            transcript.observe_commit(g_commit)
+            codeword_commits.append(g_commit)
+
+            z0 = transcript.sample_ext()
+            # OOD value: MLE at (z0, z0^2, ...) == univariate eval at z0
+            pow_tab = _pow_table(z0, cur_m, base_field=False)
+            y0 = jf.ext_to_host(
+                jf.ext_sum(jf.ext_mul(g_coeffs, pow_tab), axis=0)
+            )
+            transcript.observe_ext(y0)
+            ood_values.append(y0)
+        else:
+            final_poly = [
+                row for row in jf.ext_to_host(g_coeffs)
+            ]
+            for c in final_poly:
+                transcript.observe_ext(c)
+
+        query_phase_pow_witnesses.append(transcript.grind(whir.query_phase_pow_bits))
+        indices = [
+            transcript.sample_bits(log_rs - k) for _ in range(num_queries)
+        ]
+        zs = []
+        omega = two_adic_generator(log_rs - k)
+        if whir_round == 0:
+            for com_idx, d in enumerate(committed):
+                proofs = d.tree.batch_query_proofs(indices) if indices else []
+                for qi, index in enumerate(indices):
+                    rows = get_opened_rows(d.rs_matrix, index, 1 << k, ext=False)
+                    initial_opened_rows[com_idx].append(rows)
+                    initial_merkle_proofs[com_idx].append(proofs[qi])
+        else:
+            opened = []
+            proofs = rs_tree.batch_query_proofs(indices) if indices else []
+            for qi, index in enumerate(indices):
+                rows = get_opened_rows(rs_codeword, index, 1 << k, ext=True)
+                opened.append(rows[:, 0, :])  # width 1 -> (2^k, 4)
+            codeword_opened_values.append(opened)
+            codeword_merkle_proofs.append(proofs)
+        for index in indices:
+            zs.append(pow(omega, index, P))
+
+        if not is_last:
+            rs_tree = g_tree
+            rs_codeword = g_rs
+
+        gamma = transcript.sample_ext()
+        if not is_last:
+            # w += gamma * eq(pow(z0)) + sum_i gamma^{2+i} * eq(pow(z_i))
+            upd = jf.ext_mul(
+                jf.ext_const(gamma),
+                eq_pows_hypercube_dev(z0, cur_m, base_field=False),
+            )
+            gamma_pows = hext.epowers(gamma, len(zs) + 2)
+            for i, zi in enumerate(zs):
+                upd = jf.ext_add(
+                    upd,
+                    jf.ext_mul(
+                        jf.ext_const(gamma_pows[i + 2]),
+                        eq_pows_hypercube_dev(zi, cur_m, base_field=True),
+                    ),
+                )
+            w_evals = jf.ext_add(w_evals, upd)
+        log_rs -= 1
+
+    return WhirProof(
+        mu_pow_witness=mu_pow_witness,
+        whir_sumcheck_polys=whir_sumcheck_polys,
+        codeword_commits=codeword_commits,
+        ood_values=ood_values,
+        folding_pow_witnesses=folding_pow_witnesses,
+        query_phase_pow_witnesses=query_phase_pow_witnesses,
+        initial_round_opened_rows=initial_opened_rows,
+        initial_round_merkle_proofs=initial_merkle_proofs,
+        codeword_opened_values=codeword_opened_values,
+        codeword_merkle_proofs=codeword_merkle_proofs,
+        final_poly=final_poly,
+    )
+
+
+def _interp_vec(vec, x: int):
+    """(2m, 4) -> (m, 4) at integer X."""
+    pairs = vec.reshape(-1, 2, 4)
+    t0, t1 = pairs[:, 0], pairs[:, 1]
+    if x == 1:
+        return t1
+    return jf.ext_add(t0, jf.ext_scale(jf.ext_sub(t1, t0), jf.const(x)))

@@ -1,0 +1,190 @@
+"""Proof shape verification: recomputes the expected stacking layouts and
+checks structural sizes before any indexing (cf. reference
+``crates/stark-backend/src/verifier/proof_shape.rs``).
+
+Returns the per-commitment stacking layouts (commit order: common main, then
+per sorted trace its preprocessed and cached commitments).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from ..keygen import MultiStarkVerifyingKey
+from ..proof import Proof
+from ..prover.stacked_pcs import StackedLayout
+
+
+class ProofShapeError(Exception):
+    pass
+
+
+def _ensure(cond: bool, msg: str):
+    if not cond:
+        raise ProofShapeError(msg)
+
+
+def verify_proof_shape(mvk: MultiStarkVerifyingKey, proof: Proof) -> List[StackedLayout]:
+    params = mvk.params
+    l_skip = params.l_skip
+    num_airs = len(mvk.per_air)
+    _ensure(len(proof.trace_vdata) == num_airs, "trace_vdata length mismatch")
+    _ensure(len(proof.public_values) == num_airs, "public_values length mismatch")
+
+    for air_id, avk in enumerate(mvk.per_air):
+        vdata = proof.trace_vdata[air_id]
+        if avk.is_required:
+            _ensure(vdata is not None, f"required AIR {air_id} missing trace")
+        if vdata is not None:
+            _ensure(
+                0 <= vdata.log_height <= params.log_stacked_height,
+                "trace log height out of range",
+            )
+
+    num_traces = sum(1 for v in proof.trace_vdata if v is not None)
+    _ensure(num_traces > 0, "no traces")
+
+    trace_id_to_air_id = sorted(
+        (a for a in range(num_airs) if proof.trace_vdata[a] is not None),
+        key=lambda a: (-proof.trace_vdata[a].log_height, a),
+    )
+
+    # layouts
+    common_dims = []
+    for a in trace_id_to_air_id:
+        w = mvk.per_air[a].params.width.common_main
+        common_dims.append((w, proof.trace_vdata[a].log_height))
+    try:
+        layouts = [StackedLayout.new(l_skip, params.log_stacked_height, common_dims)]
+        for a in trace_id_to_air_id:
+            avk = mvk.per_air[a]
+            lh = proof.trace_vdata[a].log_height
+            if avk.preprocessed_data is not None:
+                pw = avk.params.width.preprocessed
+                layouts.append(
+                    StackedLayout.new(l_skip, params.log_stacked_height, [(pw, lh)])
+                )
+            for cw in avk.params.width.cached_mains:
+                layouts.append(
+                    StackedLayout.new(l_skip, params.log_stacked_height, [(cw, lh)])
+                )
+    except ValueError as e:
+        raise ProofShapeError(str(e))
+    _ensure(
+        layouts[0].width <= params.w_stack,
+        "stacked width exceeds w_stack",
+    )
+
+    bp = proof.batch_constraint_proof
+    _ensure(
+        len(bp.numerator_term_per_air) == num_traces,
+        "numerator term count mismatch",
+    )
+    _ensure(
+        len(bp.denominator_term_per_air) == num_traces,
+        "denominator term count mismatch",
+    )
+    n_max = max(
+        max(proof.trace_vdata[a].log_height - l_skip for a in trace_id_to_air_id), 0
+    )
+    _ensure(
+        len(bp.sumcheck_round_polys) == n_max, "sumcheck round count mismatch"
+    )
+    s_deg = params.max_constraint_degree + 1
+    for evals in bp.sumcheck_round_polys:
+        _ensure(len(evals) == s_deg, "round poly eval count mismatch")
+    _ensure(
+        len(bp.univariate_round_coeffs) == s_deg * ((1 << l_skip) - 1) + 1,
+        "univariate round coeff count mismatch",
+    )
+    _ensure(len(bp.column_openings) == num_traces, "column openings count")
+    for t_idx, a in enumerate(trace_id_to_air_id):
+        avk = mvk.per_air[a]
+        parts = bp.column_openings[t_idx]
+        num_parts = (
+            1
+            + (1 if avk.preprocessed_data is not None else 0)
+            + len(avk.params.width.cached_mains)
+        )
+        _ensure(len(parts) == num_parts, "column opening part count")
+        mult = 2 if avk.params.need_rot else 1
+        widths = (
+            [avk.params.width.common_main]
+            + ([avk.params.width.preprocessed] if avk.preprocessed_data else [])
+            + list(avk.params.width.cached_mains)
+        )
+        for part, w in zip(parts, widths):
+            _ensure(len(part) == w * mult, "column opening width mismatch")
+
+    sp = proof.stacking_proof
+    _ensure(
+        len(sp.univariate_round_coeffs) == 2 * ((1 << l_skip) - 1) + 1,
+        "stacking univariate coeff count",
+    )
+    _ensure(
+        len(sp.sumcheck_round_polys) == params.n_stack,
+        "stacking sumcheck round count",
+    )
+    for ev in sp.sumcheck_round_polys:
+        _ensure(len(ev) == 2, "stacking round poly eval count")
+    _ensure(len(sp.stacking_openings) == len(layouts), "stacking openings count")
+    for opens, layout in zip(sp.stacking_openings, layouts):
+        _ensure(len(opens) == layout.width, "stacking opening width mismatch")
+
+    wp = proof.whir_proof
+    num_rounds = params.num_whir_rounds()
+    k = params.k_whir
+    _ensure(
+        len(wp.whir_sumcheck_polys) == num_rounds * k, "whir sumcheck count"
+    )
+    _ensure(len(wp.codeword_commits) == num_rounds - 1, "codeword commit count")
+    _ensure(len(wp.ood_values) == num_rounds - 1, "ood value count")
+    _ensure(
+        len(wp.folding_pow_witnesses) == num_rounds * k, "folding pow count"
+    )
+    _ensure(
+        len(wp.query_phase_pow_witnesses) == num_rounds, "query pow count"
+    )
+    _ensure(
+        len(wp.initial_round_opened_rows) == len(layouts),
+        "initial opened rows commit count",
+    )
+    _ensure(
+        len(wp.initial_round_merkle_proofs) == len(layouts),
+        "initial merkle proofs commit count",
+    )
+    nq0 = params.whir.rounds[0].num_queries
+    depth0 = params.log_stacked_height + params.log_blowup - k
+    for c_idx, layout in enumerate(layouts):
+        rows_per_q = wp.initial_round_opened_rows[c_idx]
+        proofs_per_q = wp.initial_round_merkle_proofs[c_idx]
+        _ensure(len(rows_per_q) == nq0, "initial opened row query count")
+        _ensure(len(proofs_per_q) == nq0, "initial merkle proof query count")
+        for rows in rows_per_q:
+            _ensure(rows.shape == (1 << k, layout.width), "opened row shape")
+        for pf in proofs_per_q:
+            _ensure(len(pf) == depth0, "initial merkle proof depth")
+    _ensure(
+        len(wp.codeword_opened_values) == num_rounds - 1,
+        "codeword opened value rounds",
+    )
+    _ensure(
+        len(wp.codeword_merkle_proofs) == num_rounds - 1,
+        "codeword merkle proof rounds",
+    )
+    for rnd in range(1, num_rounds):
+        nq = params.whir.rounds[rnd].num_queries
+        depth = depth0 - rnd
+        opened = wp.codeword_opened_values[rnd - 1]
+        proofs = wp.codeword_merkle_proofs[rnd - 1]
+        _ensure(len(opened) == nq, "codeword opened query count")
+        _ensure(len(proofs) == nq, "codeword merkle proof query count")
+        for vals in opened:
+            _ensure(vals.shape == (1 << k, 4), "codeword opened value shape")
+        for pf in proofs:
+            _ensure(len(pf) == depth, "codeword merkle proof depth")
+    _ensure(
+        len(wp.final_poly) == 1 << params.log_final_poly_len(),
+        "final poly length",
+    )
+    return layouts
