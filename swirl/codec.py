@@ -1,0 +1,395 @@
+"""Versioned byte-level encoding/decoding of proofs (recursion-friendly).
+
+Mirrors the role of the reference codec (``crates/stark-backend/src/
+codec.rs`` + ``proof.rs`` Encode/Decode impls): explicit, versioned,
+non-self-describing byte layout where all lengths are either explicit
+varints or derivable from earlier fields; field elements are fixed-width
+little-endian u32, digests are 8 field elements.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+from typing import List
+
+import numpy as np
+
+from .fields.babybear import P
+from .proof import (
+    BatchConstraintProof,
+    GkrLayerClaims,
+    GkrProof,
+    Proof,
+    StackingProof,
+    TraceVData,
+    WhirProof,
+)
+
+CODEC_VERSION = 1
+
+
+class CodecError(Exception):
+    pass
+
+
+# -- primitives ---------------------------------------------------------------
+
+
+def _w_u32(buf, v: int):
+    buf.write(struct.pack("<I", v & 0xFFFFFFFF))
+
+
+def _r_u32(buf) -> int:
+    b = buf.read(4)
+    if len(b) != 4:
+        raise CodecError("unexpected EOF")
+    return struct.unpack("<I", b)[0]
+
+
+def _w_usize(buf, v: int):
+    buf.write(struct.pack("<Q", v))
+
+
+def _r_usize(buf) -> int:
+    b = buf.read(8)
+    if len(b) != 8:
+        raise CodecError("unexpected EOF")
+    return struct.unpack("<Q", b)[0]
+
+
+def _w_felt(buf, v: int):
+    v = int(v)
+    if not 0 <= v < P:
+        raise CodecError("field element out of range")
+    _w_u32(buf, v)
+
+
+def _r_felt(buf) -> int:
+    v = _r_u32(buf)
+    if v >= P:
+        raise CodecError("non-canonical field element")
+    return v
+
+
+def _w_ef(buf, v):
+    v = np.asarray(v).reshape(4)
+    for c in v:
+        _w_felt(buf, int(c))
+
+
+def _r_ef(buf) -> np.ndarray:
+    return np.array([_r_felt(buf) for _ in range(4)], dtype=np.uint64)
+
+
+def _w_digest(buf, d):
+    d = np.asarray(d).reshape(8)
+    for c in d:
+        _w_felt(buf, int(c))
+
+
+def _r_digest(buf) -> np.ndarray:
+    return np.array([_r_felt(buf) for _ in range(8)], dtype=np.uint64)
+
+
+def _w_ef_vec(buf, vec):
+    _w_usize(buf, len(vec))
+    for v in vec:
+        _w_ef(buf, v)
+
+
+def _r_ef_vec(buf) -> List[np.ndarray]:
+    n = _r_usize(buf)
+    return [_r_ef(buf) for _ in range(n)]
+
+
+# -- proof sections -----------------------------------------------------------
+
+
+def encode_proof(proof: Proof) -> bytes:
+    buf = io.BytesIO()
+    _w_u32(buf, CODEC_VERSION)
+    _w_digest(buf, proof.common_main_commit)
+
+    num_airs = len(proof.trace_vdata)
+    _w_usize(buf, num_airs)
+    # presence bitmap
+    for i in range(0, num_airs, 8):
+        byte = 0
+        for j, v in enumerate(proof.trace_vdata[i : i + 8]):
+            if v is not None:
+                byte |= 1 << j
+        buf.write(bytes([byte]))
+    for v in proof.trace_vdata:
+        if v is not None:
+            _w_usize(buf, v.log_height)
+            _w_usize(buf, len(v.cached_commitments))
+            for c in v.cached_commitments:
+                _w_digest(buf, c)
+
+    _w_usize(buf, len(proof.public_values))
+    for pvs in proof.public_values:
+        _w_usize(buf, len(pvs))
+        for pv in pvs:
+            _w_felt(buf, pv)
+
+    g = proof.gkr_proof
+    _w_felt(buf, g.logup_pow_witness)
+    _w_ef(buf, g.q0_claim)
+    _w_usize(buf, len(g.claims_per_layer))
+    for cl in g.claims_per_layer:
+        _w_ef(buf, cl.p_xi_0)
+        _w_ef(buf, cl.p_xi_1)
+        _w_ef(buf, cl.q_xi_0)
+        _w_ef(buf, cl.q_xi_1)
+    # sumcheck_polys shape derivable from claims count
+    for rnd in g.sumcheck_polys:
+        for arr in rnd:
+            for v in arr:
+                _w_ef(buf, v)
+
+    b = proof.batch_constraint_proof
+    _w_ef_vec(buf, b.numerator_term_per_air)
+    for v in b.denominator_term_per_air:
+        _w_ef(buf, v)
+    _w_ef_vec(buf, b.univariate_round_coeffs)
+    _w_usize(buf, len(b.sumcheck_round_polys))
+    if b.sumcheck_round_polys:
+        _w_usize(buf, len(b.sumcheck_round_polys[0]))
+        for rnd in b.sumcheck_round_polys:
+            for v in rnd:
+                _w_ef(buf, v)
+    for parts in b.column_openings:
+        _w_usize(buf, len(parts))
+        for cols in parts:
+            _w_ef_vec(buf, cols)
+
+    s = proof.stacking_proof
+    _w_ef_vec(buf, s.univariate_round_coeffs)
+    _w_usize(buf, len(s.sumcheck_round_polys))
+    for pair in s.sumcheck_round_polys:
+        _w_ef(buf, pair[0])
+        _w_ef(buf, pair[1])
+    _w_usize(buf, len(s.stacking_openings))
+    for opens in s.stacking_openings:
+        _w_ef_vec(buf, opens)
+
+    w = proof.whir_proof
+    _w_felt(buf, w.mu_pow_witness)
+    _w_usize(buf, len(w.whir_sumcheck_polys))
+    for pair in w.whir_sumcheck_polys:
+        _w_ef(buf, pair[0])
+        _w_ef(buf, pair[1])
+    _w_usize(buf, len(w.codeword_commits))
+    for c in w.codeword_commits:
+        _w_digest(buf, c)
+    for v in w.ood_values:
+        _w_ef(buf, v)
+    for pw in w.folding_pow_witnesses:
+        _w_felt(buf, pw)
+    for pw in w.query_phase_pow_witnesses:
+        _w_felt(buf, pw)
+
+    num_commits = len(w.initial_round_opened_rows)
+    _w_usize(buf, num_commits)
+    nq0 = len(w.initial_round_opened_rows[0]) if num_commits else 0
+    _w_usize(buf, nq0)
+    if nq0 > 0:
+        depth = len(w.initial_round_merkle_proofs[0][0])
+        _w_usize(buf, depth)
+        k_exp = w.initial_round_opened_rows[0][0].shape[0]
+        _w_usize(buf, k_exp)
+        for commit_rows in w.initial_round_opened_rows:
+            width = commit_rows[0].shape[1] if commit_rows else 0
+            _w_usize(buf, width)
+            for rows in commit_rows:
+                for row in np.asarray(rows).reshape(-1):
+                    _w_felt(buf, int(row))
+        for proofs in w.initial_round_merkle_proofs:
+            for pf in proofs:
+                for d in pf:
+                    _w_digest(buf, d)
+
+    _w_usize(buf, len(w.codeword_opened_values))
+    for rnd_vals in w.codeword_opened_values:
+        _w_usize(buf, len(rnd_vals))
+        for vals in rnd_vals:
+            for v in np.asarray(vals).reshape(-1, 4):
+                _w_ef(buf, v)
+    if w.codeword_merkle_proofs and w.codeword_merkle_proofs[0]:
+        _w_usize(buf, len(w.codeword_merkle_proofs[0][0]))
+    else:
+        _w_usize(buf, 0)
+    for rnd_proofs in w.codeword_merkle_proofs:
+        for pf in rnd_proofs:
+            for d in pf:
+                _w_digest(buf, d)
+
+    _w_ef_vec(buf, w.final_poly)
+    return buf.getvalue()
+
+
+def decode_proof(data: bytes) -> Proof:
+    buf = io.BytesIO(data)
+    version = _r_u32(buf)
+    if version != CODEC_VERSION:
+        raise CodecError(f"codec version mismatch: {version} != {CODEC_VERSION}")
+    common_main_commit = _r_digest(buf)
+
+    num_airs = _r_usize(buf)
+    bitmap = []
+    for _ in range((num_airs + 7) // 8):
+        byte = buf.read(1)
+        if len(byte) != 1:
+            raise CodecError("unexpected EOF")
+        bitmap.append(byte[0])
+    present = []
+    for i in range(num_airs):
+        present.append((bitmap[i // 8] >> (i % 8)) & 1 == 1)
+    # canonical encoding: padding bits must be zero
+    if num_airs % 8 != 0 and bitmap and (bitmap[-1] >> (num_airs % 8)) != 0:
+        raise CodecError("non-canonical presence bitmap")
+    trace_vdata: List = []
+    for p in present:
+        if p:
+            lh = _r_usize(buf)
+            nc = _r_usize(buf)
+            trace_vdata.append(
+                TraceVData(log_height=lh, cached_commitments=[_r_digest(buf) for _ in range(nc)])
+            )
+        else:
+            trace_vdata.append(None)
+
+    n_pvs = _r_usize(buf)
+    public_values = []
+    for _ in range(n_pvs):
+        k = _r_usize(buf)
+        public_values.append([_r_felt(buf) for _ in range(k)])
+
+    logup_pow = _r_felt(buf)
+    q0 = _r_ef(buf)
+    n_layers = _r_usize(buf)
+    claims = []
+    for _ in range(n_layers):
+        p0, p1, q0_, q1_ = _r_ef(buf), _r_ef(buf), _r_ef(buf), _r_ef(buf)
+        claims.append(GkrLayerClaims(p_xi_0=p0, p_xi_1=p1, q_xi_0=q0_, q_xi_1=q1_))
+    sumcheck_polys = []
+    for rnd in range(1, n_layers):
+        sumcheck_polys.append(
+            [[_r_ef(buf), _r_ef(buf), _r_ef(buf)] for _ in range(rnd)]
+        )
+    gkr = GkrProof(
+        logup_pow_witness=logup_pow,
+        q0_claim=q0,
+        claims_per_layer=claims,
+        sumcheck_polys=sumcheck_polys,
+    )
+
+    numer = _r_ef_vec(buf)
+    denom = [_r_ef(buf) for _ in range(len(numer))]
+    uni = _r_ef_vec(buf)
+    n_rounds = _r_usize(buf)
+    round_polys = []
+    if n_rounds:
+        per = _r_usize(buf)
+        for _ in range(n_rounds):
+            round_polys.append([_r_ef(buf) for _ in range(per)])
+    col_openings = []
+    for _ in range(len(numer)):
+        n_parts = _r_usize(buf)
+        col_openings.append([_r_ef_vec(buf) for _ in range(n_parts)])
+    batch = BatchConstraintProof(
+        numerator_term_per_air=numer,
+        denominator_term_per_air=denom,
+        univariate_round_coeffs=uni,
+        sumcheck_round_polys=round_polys,
+        column_openings=col_openings,
+    )
+
+    s_uni = _r_ef_vec(buf)
+    n_s = _r_usize(buf)
+    s_rounds = [[_r_ef(buf), _r_ef(buf)] for _ in range(n_s)]
+    n_open = _r_usize(buf)
+    s_opens = [_r_ef_vec(buf) for _ in range(n_open)]
+    stacking = StackingProof(
+        univariate_round_coeffs=s_uni,
+        sumcheck_round_polys=s_rounds,
+        stacking_openings=s_opens,
+    )
+
+    mu_pow = _r_felt(buf)
+    n_ws = _r_usize(buf)
+    w_polys = [[_r_ef(buf), _r_ef(buf)] for _ in range(n_ws)]
+    n_cc = _r_usize(buf)
+    cw_commits = [_r_digest(buf) for _ in range(n_cc)]
+    num_whir_rounds = n_cc + 1
+    oods = [_r_ef(buf) for _ in range(num_whir_rounds - 1)]
+    fold_pows = [_r_felt(buf) for _ in range(n_ws)]
+    query_pows = [_r_felt(buf) for _ in range(num_whir_rounds)]
+
+    n_commits = _r_usize(buf)
+    nq0 = _r_usize(buf)
+    init_rows: List[List[np.ndarray]] = [[] for _ in range(n_commits)]
+    init_proofs: List[List[List[np.ndarray]]] = [[] for _ in range(n_commits)]
+    if nq0 > 0:
+        depth = _r_usize(buf)
+        k_exp = _r_usize(buf)
+        for c in range(n_commits):
+            width = _r_usize(buf)
+            for _ in range(nq0):
+                vals = np.array(
+                    [_r_felt(buf) for _ in range(k_exp * width)], dtype=np.uint64
+                ).reshape(k_exp, width)
+                init_rows[c].append(vals)
+        for c in range(n_commits):
+            for _ in range(nq0):
+                init_proofs[c].append([_r_digest(buf) for _ in range(depth)])
+
+    n_cw_rounds = _r_usize(buf)
+    cw_opened = []
+    if n_ws and num_whir_rounds:
+        k_whir = n_ws // num_whir_rounds
+    else:
+        k_whir = 0
+    for _ in range(n_cw_rounds):
+        nq = _r_usize(buf)
+        vals_round = []
+        for _ in range(nq):
+            vals_round.append(
+                np.stack([_r_ef(buf) for _ in range(1 << k_whir)])
+            )
+        cw_opened.append(vals_round)
+    depth0 = _r_usize(buf)
+    cw_proofs = []
+    d = depth0
+    for rnd_vals in cw_opened:
+        cw_proofs.append(
+            [[_r_digest(buf) for _ in range(d)] for _ in rnd_vals]
+        )
+        d -= 1
+    final_poly = _r_ef_vec(buf)
+
+    whir = WhirProof(
+        mu_pow_witness=mu_pow,
+        whir_sumcheck_polys=w_polys,
+        codeword_commits=cw_commits,
+        ood_values=oods,
+        folding_pow_witnesses=fold_pows,
+        query_phase_pow_witnesses=query_pows,
+        initial_round_opened_rows=init_rows,
+        initial_round_merkle_proofs=init_proofs,
+        codeword_opened_values=cw_opened,
+        codeword_merkle_proofs=cw_proofs,
+        final_poly=final_poly,
+    )
+    if buf.read(1) != b"":
+        raise CodecError("trailing bytes")
+    return Proof(
+        common_main_commit=common_main_commit,
+        trace_vdata=trace_vdata,
+        public_values=public_values,
+        gkr_proof=gkr,
+        batch_constraint_proof=batch,
+        stacking_proof=stacking,
+        whir_proof=whir,
+    )

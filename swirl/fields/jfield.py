@@ -98,15 +98,20 @@ def to_u32(x):
     return _redc(jnp.zeros_like(x), x)
 
 
-def const(v: int) -> jnp.ndarray:
-    """Host int -> Monty-form scalar constant."""
-    return jnp.uint32((int(v) % P_INT) * R_INT % P_INT)
+def const(v: int):
+    """Host int -> Monty-form scalar constant.
+
+    Returned as numpy so values may be safely cached across jit traces
+    (XLA embeds them as constants at trace time).
+    """
+    return np.uint32((int(v) % P_INT) * R_INT % P_INT)
 
 
-def const_arr(vals) -> jnp.ndarray:
-    """Host canonical array -> Monty-form device array (host-side conversion)."""
+def const_arr(vals):
+    """Host canonical array -> Monty-form constant array (numpy-backed; safe
+    to cache and reuse across jit/shard_map traces)."""
     a = np.asarray(vals, dtype=np.uint64) % np.uint64(P_INT)
-    return jnp.asarray((a * np.uint64(R_INT)) % np.uint64(P_INT), dtype=jnp.uint32)
+    return np.asarray((a * np.uint64(R_INT)) % np.uint64(P_INT), dtype=np.uint32)
 
 
 def to_host(x) -> np.ndarray:

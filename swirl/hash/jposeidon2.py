@@ -66,19 +66,37 @@ def _internal(s, diag):
 
 
 def permute(state):
-    """Poseidon2 permutation on (..., 16) Monty-form uint32 arrays."""
+    """Poseidon2 permutation on (..., 16) Monty-form uint32 arrays.
+
+    Rounds run under ``lax.fori_loop`` (rounds are sequentially dependent
+    anyway), keeping the traced graph ~20x smaller than full unrolling —
+    important because Merkle towers inline many permutations per jit.
+    """
     ext_init, internal, ext_final, diag = _mont_constants()
+    ext_init_d = jnp.asarray(ext_init)
+    internal_d = jnp.asarray(internal)
+    ext_final_d = jnp.asarray(ext_final)
+    diag_d = jnp.asarray(diag)
+
     s = _external(state)
-    for r in range(ext_init.shape[0]):
-        s = _sbox(jf.add(s, ext_init[r]))
-        s = _external(s)
-    for r in range(internal.shape[0]):
-        s0 = _sbox(jf.add(s[..., 0], internal[r]))
-        s = s.at[..., 0].set(s0)
-        s = _internal(s, diag)
-    for r in range(ext_final.shape[0]):
-        s = _sbox(jf.add(s, ext_final[r]))
-        s = _external(s)
+
+    def full_round(consts):
+        def body(r, s):
+            rc = jax.lax.dynamic_index_in_dim(consts, r, 0, keepdims=False)
+            return _external(_sbox(jf.add(s, rc)))
+
+        return body
+
+    s = jax.lax.fori_loop(0, ext_init_d.shape[0], full_round(ext_init_d), s)
+
+    def partial_round(r, s):
+        rc = jax.lax.dynamic_index_in_dim(internal_d, r, 0, keepdims=False)
+        s0 = _sbox(jf.add(s[..., 0], rc))
+        s = jnp.concatenate([s0[..., None], s[..., 1:]], axis=-1)
+        return _internal(s, diag_d)
+
+    s = jax.lax.fori_loop(0, internal_d.shape[0], partial_round, s)
+    s = jax.lax.fori_loop(0, ext_final_d.shape[0], full_round(ext_final_d), s)
     return s
 
 

@@ -1,0 +1,195 @@
+"""Multi-chip sharding of the prover's hot pipeline (mesh + shard_map).
+
+The reference is a single-accelerator prover (no NCCL/MPI anywhere in the
+workspace); scaling a single proof across a TPU slice is new, TPU-native
+work (SURVEY.md §2.6). The "long axis" is the stacked-matrix height 2^m:
+
+- trace rows / hypercube coordinates are sharded contiguously across the
+  mesh axis ``rows``;
+- the RS-encode NTT uses a Cooley-Tukey A x B split with A = n_devices:
+  the cross-device stage is a size-A DFT computed from an all-gather (A is
+  tiny), the per-device stage is the local batched NTT, and one all_to_all
+  restores natural row order;
+- Merkle leaf hashing and sumcheck partial reductions are shard-local with
+  ``psum``/``all_gather`` only at layer boundaries (digests / 3 EF values
+  per round — latency-bound, not bandwidth-bound).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
+from jax.experimental.shard_map import shard_map
+
+from ..fields import jfield as jf
+from ..fields.babybear import P, two_adic_generator
+from ..hash import jposeidon2 as jp2
+from ..prover.ntt import ntt, zeta_transform
+from ..prover.stacked_pcs import rs_message
+
+AXIS = "rows"
+
+
+def make_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (AXIS,))
+
+
+def _dft_matrix_rows(n_dev: int, log_h: int) -> np.ndarray:
+    """Twiddle matrix for the cross-device DFT stage: W[k1, j1] = w_A^{j1 k1}
+    where A = n_dev and w_A = w_H^{H/A}."""
+    h = 1 << log_h
+    w = two_adic_generator(log_h)
+    w_a = pow(w, h // n_dev, P)
+    idx = (np.arange(n_dev)[:, None] * np.arange(n_dev)[None, :]) % n_dev
+    pw = np.array([pow(w_a, int(i), P) for i in range(n_dev)], dtype=np.uint64)
+    return pw[idx]
+
+
+def distributed_ntt(x_local, n_dev: int, log_h: int):
+    """Per-shard body of the distributed NTT.
+
+    Global x is (w, H) sharded contiguously on axis 1; each shard holds
+    (w, B) with B = H / n_dev, forming row j1 = device_index of the (A, B)
+    Cooley-Tukey matrix (j = j1*B + j2). Returns the shard of the
+    natural-order DFT output.
+    """
+    h = 1 << log_h
+    B = h // n_dev
+    d = jax.lax.axis_index(AXIS)
+
+    # cross-device stage: Y[j2] = sum_j1 w_A^{j1 * d} x[j1, j2]
+    all_rows = jax.lax.all_gather(x_local, AXIS)  # (A, w, B)
+    dft_mat = jf.const_arr(_dft_matrix_rows(n_dev, log_h))  # (A, A)
+    my_tw = jnp.take(dft_mat, d, axis=0)  # (A,)
+    y = jf.ext_sum(jf.mul(all_rows, my_tw[:, None, None]), axis=0)  # (w, B)
+
+    # twiddle: *= w_H^{j2 * k1}, k1 = d
+    w_h = two_adic_generator(log_h)
+    j2 = np.arange(B, dtype=np.uint64)
+    # w_H^{j2 * d}: build via powers of w_H^d on device
+    base_pows = jf.const_arr(
+        np.array([pow(w_h, int(t), P) for t in range(n_dev)], dtype=np.uint64)
+    )
+    w_d = jnp.take(base_pows, d)  # w_H^d
+    tw = _powers_dev(w_d, B)  # (B,) = (w_H^d)^{j2}
+    y = jf.mul(y, tw[None, :])
+
+    # local stage: DFT_B along axis 1 -> Z[k2] = X[d + A*k2]
+    z = ntt(y)
+
+    # restore natural order: device t needs k in [t*B, (t+1)*B).
+    # k = d + A*k2; k2 block t (size B/A) maps to device t.
+    w_cols = z.shape[0]
+    blocks = z.reshape(w_cols, n_dev, B // n_dev)  # (w, A_target, B/A)
+    blocks = jnp.moveaxis(blocks, 1, 0)  # (A_target, w, B/A)
+    recv = jax.lax.all_to_all(blocks, AXIS, split_axis=0, concat_axis=0, tiled=True)
+    # recv: (A_source, w, B/A): chunk s holds X[t*B + s + A*j], j < B/A
+    out = jnp.moveaxis(recv, 0, 2)  # (w, B/A, A_source)
+    return out.reshape(w_cols, B)
+
+
+def _powers_dev(base_scalar, n: int):
+    """[base^0, ..., base^{n-1}] on device via log-doubling."""
+    out = jnp.full((1,), jf.const(1), dtype=jnp.uint32)
+    cur = base_scalar
+    k = 1
+    while k < n:
+        nxt = jf.mul(out, cur)
+        out = jnp.concatenate([out, nxt])[: min(2 * k, n)]
+        cur = jf.mul(cur, cur)
+        k *= 2
+    return out[:n]
+
+
+def sharded_commit_step(mesh: Mesh, l_skip: int, log_blowup: int, k_whir: int):
+    """Builds a jitted sharded function: stacked trace shard -> (root,
+    round-poly partial sums for one deg-2 sumcheck round).
+
+    This is the flagship multi-chip pipeline step: RS encode (local iDFT +
+    zeta + distributed NTT), Merkle leaf hash + compress (local subtree,
+    gathered tail), and a psum-reduced sumcheck round evaluation.
+    """
+    n_dev = mesh.devices.size
+
+    def step(stacked):  # (w, H) global
+        w, h = stacked.shape
+        log_h = h.bit_length() - 1
+        log_rs = log_h + log_blowup
+
+        def body(local):  # (w, H/n_dev)
+            # RS message: iDFT per 2^l_skip chunk + zeta transform are local
+            # (chunks never cross shard boundaries when H/n_dev >= 2^l_skip)
+            msg = rs_message(l_skip, local)
+            pad = jnp.zeros(
+                (w, (local.shape[1]) * ((1 << log_blowup) - 1)), jnp.uint32
+            )
+            # zero-pad globally: local shard of the padded coeff vector.
+            # coeffs occupy the first H entries of 2^log_rs; with contiguous
+            # sharding the first n_dev/2^log_blowup shards hold data.
+            # For simplicity pad per-shard then treat as (w, 2^log_rs)
+            # sharded: equivalent to interleaved zero pad; we instead gather
+            # message to natural order and re-split via distributed ntt on
+            # the padded size.
+            padded_local = jnp.concatenate([msg, pad], axis=1)
+            # padded_local is NOT the contiguous shard of the padded global
+            # vector; fix by all_to_all-free trick: distributed_ntt treats
+            # shard d as row d of the (A, B) matrix, so we need shard d to
+            # hold global coeffs [d*B, (d+1)*B). Rebuild via all_gather of
+            # msg (acceptable for the dry-run; production uses the blowup-
+            # aware redistribution).
+            full_msg = jax.lax.all_gather(msg, AXIS)  # (A, w, B0)
+            full_msg = jnp.moveaxis(full_msg, 0, 1).reshape(w, -1)
+            full = jnp.concatenate(
+                [
+                    full_msg,
+                    jnp.zeros((w, (h << log_blowup) - h), jnp.uint32),
+                ],
+                axis=1,
+            )
+            B = (h << log_blowup) // n_dev
+            d = jax.lax.axis_index(AXIS)
+            my = jax.lax.dynamic_slice(full, (0, d * B), (w, B))
+            code_local = distributed_ntt(my, n_dev, log_rs)  # (w, B)
+
+            # Merkle: local leaf hashes, local pairwise compress to one
+            # digest per shard, all_gather + replicated tail.
+            leaves = jp2.hash_rows(code_local.T)  # (B, 8)
+            cur = leaves
+            while cur.shape[0] > 1:
+                cur = jp2.compress_pairs(cur[0::2], cur[1::2])
+            tails = jax.lax.all_gather(cur[0], AXIS)  # (A, 8)
+            cur = tails
+            while cur.shape[0] > 1:
+                cur = jp2.compress_pairs(cur[0::2], cur[1::2])
+            root = cur[0]
+
+            # one deg-2 sumcheck round over the local shard + psum:
+            # s(X) evals at {1,2} of sum_y q(X, y) * q(X, y) (self-product
+            # stand-in for the weighted reduction kernel)
+            q = local
+            pairs = q.reshape(w, -1, 2)
+            t0, t1 = pairs[..., 0], pairs[..., 1]
+            ev1 = jf.base_sum(jf.base_sum(jf.mul(t1, t1), axis=1), axis=0)
+            t2 = jf.add(t1, jf.sub(t1, t0))
+            ev2 = jf.base_sum(jf.base_sum(jf.mul(t2, t2), axis=1), axis=0)
+            evs = jnp.stack([ev1, ev2])
+            # psum in the field: gather partials and tree-add
+            parts = jax.lax.all_gather(evs, AXIS)  # (A, 2)
+            round_evals = jf.ext_sum(parts, axis=0)
+            return root, round_evals
+
+        return shard_map(
+            body,
+            mesh=mesh,
+            in_specs=PSpec(None, AXIS),
+            out_specs=(PSpec(), PSpec()),
+            check_rep=False,
+        )(stacked)
+
+    return jax.jit(step)

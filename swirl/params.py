@@ -221,11 +221,122 @@ def default_test_params_small() -> SystemParams:
     return test_system_params_small(2, 8, 3)
 
 
-def standard_logup_params_100_bits() -> LogUpSecurityParameters:
+# Production preset constants (mirroring the reference SDK's tiers,
+# ``crates/stark-sdk/src/config/mod.rs:29-138``)
+DEFAULT_K_WHIR = 4
+DEFAULT_WHIR_QUERY_PHASE_POW_BITS = 20
+WHIR_MAX_LOG_FINAL_POLY_LEN = 10
+SECURITY_BITS_TARGET = 100
+MAX_APP_LOG_STACKED_HEIGHT = 24
+
+
+def _logup_params_100_bits(log2_pcs_list_size: float = 0.0) -> LogUpSecurityParameters:
+    """LogUp parameters with grinding calibrated for 100-bit security,
+    accounting for the PCS list-size union bound."""
+    import math
+
+    max_interaction_count = 1 << 27
+    log_max_message_length = 5
+    challenge_bits = 4 * math.log2(2013265921)
+    base = (
+        challenge_bits
+        - math.log2(2.0 * max_interaction_count)
+        - log_max_message_length
+        - log2_pcs_list_size
+    )
+    pow_bits = max(0, math.ceil(SECURITY_BITS_TARGET - base))
     return LogUpSecurityParameters(
-        max_interaction_count=(1 << 27) * 15,  # bounded by field characteristic scale
-        log_max_message_length=5,
-        pow_bits=16,
+        max_interaction_count=max_interaction_count,
+        log_max_message_length=log_max_message_length,
+        pow_bits=pow_bits,
+    )
+
+
+def params_with_100_bits_security(
+    log_blowup: int,
+    l_skip: int,
+    n_stack: int,
+    w_stack: int,
+    folding_pow_bits: int,
+    mu_pow_bits: int,
+    proximity: WhirProximityStrategy,
+    max_constraint_degree: int,
+    whir_query_phase_pow_bits: int = DEFAULT_WHIR_QUERY_PHASE_POW_BITS,
+    k_whir: int = DEFAULT_K_WHIR,
+) -> SystemParams:
+    whir_params = WhirParams(
+        k=k_whir,
+        log_final_poly_len=WHIR_MAX_LOG_FINAL_POLY_LEN,
+        query_phase_pow_bits=whir_query_phase_pow_bits,
+        proximity=proximity,
+        folding_pow_bits=folding_pow_bits,
+        mu_pow_bits=mu_pow_bits,
+    )
+    return SystemParams(
+        l_skip=l_skip,
+        n_stack=n_stack,
+        w_stack=w_stack,
+        log_blowup=log_blowup,
+        whir=WhirConfig.new(
+            log_blowup, l_skip + n_stack, whir_params, SECURITY_BITS_TARGET
+        ),
+        logup=_logup_params_100_bits(),
+        max_constraint_degree=max_constraint_degree,
+    )
+
+
+def app_params_with_100_bits_security(log_stacked_height: int = 24) -> SystemParams:
+    """App-tier preset: l_skip=4, log_blowup=1, w_stack=2048, k_whir=4,
+    unique decoding, 100-bit RBR target."""
+    assert log_stacked_height <= MAX_APP_LOG_STACKED_HEIGHT
+    return params_with_100_bits_security(
+        log_blowup=1,
+        l_skip=4,
+        n_stack=max(log_stacked_height - 4, 0),
+        w_stack=2048,
+        folding_pow_bits=5,
+        mu_pow_bits=15,
+        proximity=WhirProximityStrategy("unique"),
+        max_constraint_degree=3,
+    )
+
+
+def leaf_params_with_100_bits_security(log_stacked_height: int = 23) -> SystemParams:
+    return params_with_100_bits_security(
+        log_blowup=2,
+        l_skip=4,
+        n_stack=max(log_stacked_height - 4, 0),
+        w_stack=2048,
+        folding_pow_bits=5,
+        mu_pow_bits=15,
+        proximity=WhirProximityStrategy("unique"),
+        max_constraint_degree=4,
+    )
+
+
+def internal_params_with_100_bits_security(log_stacked_height: int = 22) -> SystemParams:
+    return params_with_100_bits_security(
+        log_blowup=3,
+        l_skip=4,
+        n_stack=max(log_stacked_height - 4, 0),
+        w_stack=2048,
+        folding_pow_bits=5,
+        mu_pow_bits=15,
+        proximity=WhirProximityStrategy("unique"),
+        max_constraint_degree=4,
+    )
+
+
+def root_params_with_100_bits_security(log_stacked_height: int = 21) -> SystemParams:
+    return params_with_100_bits_security(
+        log_blowup=4,
+        l_skip=4,
+        n_stack=max(log_stacked_height - 4, 0),
+        w_stack=2048,
+        folding_pow_bits=5,
+        mu_pow_bits=15,
+        proximity=WhirProximityStrategy("unique"),
+        max_constraint_degree=4,
     )
 
 
@@ -234,26 +345,18 @@ def production_params(
     n_stack: int = 20,
     w_stack: int = 2048,
     k_whir: int = 4,
-    max_constraint_degree: int = 4,
+    max_constraint_degree: int = 3,
     security_bits: int = 100,
 ) -> SystemParams:
-    """App-tier production preset: l_skip=4, log_blowup=1,
-    log_stacked_height <= 24, w_stack=2048, k_whir=4 (100-bit target)."""
-    log_blowup = 1
-    whir_params = WhirParams(
-        k=k_whir,
-        log_final_poly_len=(l_skip + n_stack) % k_whir,
-        query_phase_pow_bits=20,
-        proximity=WhirProximityStrategy("split", m=3, list_start_round=1),
-        folding_pow_bits=16,
-        mu_pow_bits=17,
-    )
-    return SystemParams(
+    """Back-compat alias for the app-tier preset shape."""
+    return params_with_100_bits_security(
+        log_blowup=1,
         l_skip=l_skip,
         n_stack=n_stack,
         w_stack=w_stack,
-        log_blowup=log_blowup,
-        whir=WhirConfig.new(log_blowup, l_skip + n_stack, whir_params, security_bits),
-        logup=standard_logup_params_100_bits(),
+        folding_pow_bits=5,
+        mu_pow_bits=15,
+        proximity=WhirProximityStrategy("unique"),
         max_constraint_degree=max_constraint_degree,
+        k_whir=k_whir,
     )

@@ -1,0 +1,111 @@
+import numpy as np
+import pytest
+
+import tests.conftest  # noqa: F401
+
+from swirl.codec import CodecError, decode_proof, encode_proof
+from swirl.engine import StarkEngine
+from swirl.fields import ext
+from swirl.fields import jfield as jf
+from swirl.fields.babybear import P
+from swirl.params import test_system_params_small as small_params
+from swirl.prover.backend import ProvingContext
+from swirl.prover.plain_sumcheck import (
+    sumcheck_multilinear,
+    sumcheck_prismalinear,
+    verify_sumcheck_multilinear,
+    verify_sumcheck_prismalinear,
+)
+from swirl.testing.fixtures import FibonacciAir, SelfInteractionAir
+from swirl.transcript import Transcript
+from swirl import poly as hpoly
+
+
+class TestPlainSumcheck:
+    def test_multilinear_roundtrip(self):
+        rng = np.random.default_rng(0)
+        n = 5
+        evals_host = rng.integers(0, P, (1 << n, 4), dtype=np.uint64)
+        proof, r = sumcheck_multilinear(Transcript(), jf.const_arr(evals_host))
+        assert ext.eeq(proof.sum_claim, ext.esum(evals_host, axis=0))
+        r2 = verify_sumcheck_multilinear(Transcript(), proof, n)
+        for a, b in zip(r, r2):
+            assert ext.eeq(a, b)
+        # final claim == MLE(evals)(r) (note fold order: var i <-> bit i)
+        expect = hpoly.eval_mle_evals_at_point(
+            evals_host, np.stack(list(r))
+        )
+        assert ext.eeq(proof.eval_claim, expect)
+
+    def test_multilinear_tamper_rejected(self):
+        rng = np.random.default_rng(1)
+        evals_host = rng.integers(0, P, (8, 4), dtype=np.uint64)
+        proof, _ = sumcheck_multilinear(Transcript(), jf.const_arr(evals_host))
+        proof.round_polys_eval[1][0] = (proof.round_polys_eval[1][0] + 1) % P
+        with pytest.raises(ValueError):
+            verify_sumcheck_multilinear(Transcript(), proof, 3)
+
+    def test_prismalinear_roundtrip(self):
+        rng = np.random.default_rng(2)
+        l_skip, n = 2, 3
+        evals_host = rng.integers(0, P, (1 << (l_skip + n), 4), dtype=np.uint64)
+        proof, r = sumcheck_prismalinear(
+            Transcript(), l_skip, jf.const_arr(evals_host)
+        )
+        assert ext.eeq(proof.sum_claim, ext.esum(evals_host, axis=0))
+        r2 = verify_sumcheck_prismalinear(Transcript(), proof, l_skip, n)
+        for a, b in zip(r, r2):
+            assert ext.eeq(a, b)
+
+
+class TestCodec:
+    def _proofs(self):
+        engine = StarkEngine(small_params(2, 3, 3))
+        fib = FibonacciAir()
+        trace = FibonacciAir.generate_trace(1, 1, 16)
+        pvs = FibonacciAir.pvs(1, 1, 16)
+        pk, vk = engine.keygen([fib])
+        ctx = ProvingContext([engine.context_for(0, trace, pvs, [])])
+        proof = engine.prove(engine.transport_pk(pk), ctx)
+        return engine, vk, proof
+
+    def test_roundtrip_and_verify(self):
+        engine, vk, proof = self._proofs()
+        blob = encode_proof(proof)
+        proof2 = decode_proof(blob)
+        engine.verify(vk, proof2)
+        # re-encoding is byte-identical (canonical)
+        assert encode_proof(proof2) == blob
+
+    def test_roundtrip_with_interactions(self):
+        engine = StarkEngine(small_params(2, 4, 3))
+        air = SelfInteractionAir(4)
+        pk, vk = engine.keygen([air])
+        ctx = ProvingContext([engine.context_for(0, air.generate_trace(8), [], [])])
+        proof = engine.prove(engine.transport_pk(pk), ctx)
+        blob = encode_proof(proof)
+        proof2 = decode_proof(blob)
+        engine.verify(vk, proof2)
+
+    def test_version_check(self):
+        _, _, proof = self._proofs()
+        blob = bytearray(encode_proof(proof))
+        blob[0] ^= 1
+        with pytest.raises(CodecError):
+            decode_proof(bytes(blob))
+
+    def test_noncanonical_felt_rejected(self):
+        _, _, proof = self._proofs()
+        blob = bytearray(encode_proof(proof))
+        # overwrite the first digest element with a non-canonical value
+        import struct
+
+        blob[4:8] = struct.pack("<I", P)
+        with pytest.raises(CodecError):
+            decode_proof(bytes(blob))
+
+    def test_trailing_bytes_rejected(self):
+        _, _, proof = self._proofs()
+        blob = encode_proof(proof) + b"\x00"
+        with pytest.raises(CodecError):
+            decode_proof(blob)

@@ -1,0 +1,74 @@
+"""Soundness accounting tests: every production preset must clear the
+100-bit target under the documented workload assumptions (the swirl analog
+of the reference ``stark-backend/tests/soundness.rs``)."""
+
+import math
+
+import tests.conftest  # noqa: F401
+
+from swirl.params import (
+    app_params_with_100_bits_security,
+    internal_params_with_100_bits_security,
+    leaf_params_with_100_bits_security,
+    root_params_with_100_bits_security,
+)
+from swirl.soundness import (
+    calculate_soundness,
+    combine_security_bits,
+    effective_pow_bits,
+    log2_add,
+    min_whir_queries,
+)
+
+# Workload assumptions from the app preset docs
+APP_ASSUMPTIONS = dict(
+    max_num_constraints_per_air=5000,
+    num_airs=100,
+    num_trace_columns=30000,
+    num_stacked_columns=2048,
+)
+
+
+class TestSoundnessMath:
+    def test_log2_add(self):
+        assert abs(log2_add(3.0, 3.0) - 4.0) < 1e-12
+        assert abs(log2_add(10.0, 0.0) - math.log2(1025)) < 1e-9
+        assert log2_add(math.inf, 5.0) == math.inf
+
+    def test_combine_security_bits(self):
+        # equal errors halve the security by one bit
+        assert abs(combine_security_bits(50.0, 50.0) - 49.0) < 1e-12
+        assert combine_security_bits(math.inf, 42.0) == 42.0
+
+    def test_effective_pow_bits(self):
+        assert effective_pow_bits(0) == 0.0
+        # slightly under nominal because residue 0 is heavy
+        v = effective_pow_bits(20)
+        assert 19.0 < v <= 20.0
+
+
+class TestProductionPresets:
+    def _check(self, params, max_log_height):
+        report = calculate_soundness(
+            params,
+            max_log_trace_height=max_log_height,
+            n_logup=max(max_log_height - params.l_skip, 0),
+            **APP_ASSUMPTIONS,
+        )
+        assert report.total_bits >= 99.0, vars(report)
+
+    def test_app_preset(self):
+        self._check(app_params_with_100_bits_security(24), 24)
+
+    def test_leaf_preset(self):
+        self._check(leaf_params_with_100_bits_security(23), 23)
+
+    def test_internal_preset(self):
+        self._check(internal_params_with_100_bits_security(22), 22)
+
+    def test_root_preset(self):
+        self._check(root_params_with_100_bits_security(21), 21)
+
+    def test_min_whir_queries_monotone(self):
+        p = app_params_with_100_bits_security(24)
+        assert min_whir_queries(p, 100) > min_whir_queries(p, 50)
