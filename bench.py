@@ -30,8 +30,7 @@ def main():
 
     from swirl.fields import jfield as jf
     from swirl.fields.babybear import P
-    from swirl.params import test_system_params_small
-    from swirl.prover.stacked_pcs import stacked_commit
+    from swirl.prover.commit_kernel import commit_kernel
 
     l_skip, k_whir, log_blowup = 4, 4, 1
     n_stack = LOG_ROWS - l_skip
@@ -44,10 +43,9 @@ def main():
     trace.block_until_ready()
 
     def run():
-        commit, data = stacked_commit(l_skip, n_stack, log_blowup, k_whir, [trace])
-        # force completion of the full pipeline
-        data.rs_matrix.block_until_ready()
-        return commit
+        code, layers = commit_kernel(l_skip, log_blowup, k_whir, trace)
+        layers[-1].block_until_ready()
+        return layers[-1]
 
     # warmup (compilation)
     run()

@@ -24,6 +24,7 @@ from ..params import SystemParams
 from ..proof import Proof, TraceVData
 from ..transcript import Transcript
 from .logup_zerocheck import TraceProver, prove_zerocheck_and_logup
+from .. import metrics
 from .stacked_pcs import StackedPcsData, stacked_commit
 from .stacked_reduction import prove_stacked_opening_reduction
 from .whir import prove_whir_opening
@@ -32,7 +33,7 @@ from .whir import prove_whir_opening
 def to_device_matrix(trace: np.ndarray) -> jnp.ndarray:
     """(height, width) canonical host trace -> (width, height) Monty device."""
     trace = np.asarray(trace, dtype=np.uint64)
-    return jf.const_arr(trace.T)
+    return jnp.asarray(jf.const_arr(trace.T))
 
 
 def from_device_matrix(mat: jnp.ndarray) -> np.ndarray:
@@ -144,6 +145,12 @@ class Coordinator:
     def prove(
         self, mpk: DeviceMultiStarkProvingKey, unsorted_ctx: ProvingContext
     ) -> Proof:
+        with metrics.span("stark_prove_excluding_trace"):
+            return self._prove(mpk, unsorted_ctx)
+
+    def _prove(
+        self, mpk: DeviceMultiStarkProvingKey, unsorted_ctx: ProvingContext
+    ) -> Proof:
         params = mpk.params
         transcript = self.transcript
         transcript.observe_commit(mpk.vk_pre_hash)
@@ -152,7 +159,8 @@ class Coordinator:
         num_airs = len(mpk.per_air)
 
         common_traces = [tc.common_main for _, tc in ctx.per_trace]
-        common_commit, common_data = self.backend.commit_traces(common_traces)
+        with metrics.span("prover.main_trace_commit"):
+            common_commit, common_data = self.backend.commit_traces(common_traces)
 
         trace_vdata: List[Optional[TraceVData]] = [None] * num_airs
         public_values: List[List[int]] = [[] for _ in range(num_airs)]
@@ -202,9 +210,10 @@ class Coordinator:
                     common=tc.common_main,
                 )
             )
-        gkr_proof, batch_proof, r = prove_zerocheck_and_logup(
-            transcript, params, mpk.max_constraint_degree, traces
-        )
+        with metrics.span("prove_rap_constraints"):
+            gkr_proof, batch_proof, r = prove_zerocheck_and_logup(
+                transcript, params, mpk.max_constraint_degree, traces
+            )
 
         # stage: openings (stacked reduction + WHIR)
         stacked_per_commit: List[StackedPcsData] = [common_data]
@@ -221,9 +230,10 @@ class Coordinator:
                 stacked_per_commit.append(cd.data)
                 need_rot_per_commit.append([need_rot])
 
-        stacking_proof, u = prove_stacked_opening_reduction(
-            transcript, params, stacked_per_commit, need_rot_per_commit, r
-        )
+        with metrics.span("prove_stacked_reduction"):
+            stacking_proof, u = prove_stacked_opening_reduction(
+                transcript, params, stacked_per_commit, need_rot_per_commit, r
+            )
 
         # u_cube: replace the prism coordinate u0 with its bit powers
         from ..fields import ext as hext
@@ -235,9 +245,10 @@ class Coordinator:
             cur = hext.emul(cur, cur)
         u_cube.extend(u[1:])
 
-        whir_proof = prove_whir_opening(
-            transcript, params, stacked_per_commit, u_cube
-        )
+        with metrics.span("prove_whir"):
+            whir_proof = prove_whir_opening(
+                transcript, params, stacked_per_commit, u_cube
+            )
 
         return Proof(
             common_main_commit=common_commit,

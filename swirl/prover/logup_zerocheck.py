@@ -30,6 +30,7 @@ from ..proof import BatchConstraintProof, GkrProof
 from ..symbolic import ConstraintsDag
 from ..transcript import Transcript
 from .. import poly as hpoly
+from .. import metrics
 from .dag_eval import (
     DeviceEvaluator,
     HostEvaluator,
@@ -173,6 +174,7 @@ def prove_zerocheck_and_logup(
     # ---- GKR input evaluation + fractional sumcheck -----------------------
     has_interactions = len(inter_layout.sorted_cols) > 0
     if has_interactions:
+        metrics.counter("gkr_interaction_cells", 1 << (l_skip + n_logup))
         counts_flat = []  # base (h,) arrays
         denoms_flat = []  # EF (h, 4) arrays
         flat_offsets = {}
@@ -232,7 +234,8 @@ def prove_zerocheck_and_logup(
         )  # embed base -> EF
         q_dev = jnp.take(denoms_dev, jnp.asarray(src), axis=0)
         q_dev = jf.ext_add(q_dev, jf.ext_const(alpha))
-        frac = fractional_sumcheck(transcript, p_dev, q_dev, assert_zero=True)
+        with metrics.span("fractional_sumcheck"):
+            frac = fractional_sumcheck(transcript, p_dev, q_dev, assert_zero=True)
     else:
         frac = fractional_sumcheck(transcript, None, None)
 

@@ -1,0 +1,95 @@
+"""Additional conformance coverage: optional/absent AIRs, wide multi-trace
+mixtures, randomized parameter sweeps (mirrors reference backend-tests
+categories 1, 3, 5, 6)."""
+
+import numpy as np
+import pytest
+
+import tests.conftest  # noqa: F401
+
+from swirl.engine import StarkEngine
+from swirl.params import test_system_params_small as small_params
+from swirl.prover.backend import ProvingContext
+from swirl.testing.fixtures import (
+    DummyInteractionAir,
+    FibonacciAir,
+    MixtureAir,
+    SelfInteractionAir,
+)
+from swirl.testing.synthetic import SyntheticAir, uniform_shape
+
+
+class TestOptionalAirs:
+    def test_absent_optional_air(self):
+        """Keygen includes two AIRs; only one is present in the proof."""
+        engine = StarkEngine(small_params(2, 4, 3))
+        fib = FibonacciAir()
+        mix = MixtureAir(3)
+        pk, vk = engine.keygen([fib, mix])
+        trace = FibonacciAir.generate_trace(1, 1, 16)
+        pvs = FibonacciAir.pvs(1, 1, 16)
+        ctx = ProvingContext([engine.context_for(0, trace, pvs, [])])
+        proof = engine.prove(engine.transport_pk(pk), ctx)
+        assert proof.trace_vdata[1] is None
+        engine.verify(vk, proof)
+
+    def test_required_air_missing_fails(self):
+        engine = StarkEngine(small_params(2, 4, 3))
+        fib = FibonacciAir()
+        mix = MixtureAir(3)
+        pk, vk = engine.keygen([fib, mix], required=[False, True])
+        trace = FibonacciAir.generate_trace(1, 1, 16)
+        pvs = FibonacciAir.pvs(1, 1, 16)
+        ctx = ProvingContext([engine.context_for(0, trace, pvs, [])])
+        proof = engine.prove(engine.transport_pk(pk), ctx)
+        with pytest.raises(Exception):
+            engine.verify(vk, proof)
+
+    def test_present_subset_with_interactions(self):
+        """Absent AIR with interactions: bus must still balance among
+        present traces."""
+        engine = StarkEngine(small_params(2, 4, 3))
+        self_int = SelfInteractionAir(4)
+        mix = MixtureAir(3)
+        pk, vk = engine.keygen([mix, self_int])
+        ctx = ProvingContext(
+            [engine.context_for(1, self_int.generate_trace(8), [], [])]
+        )
+        proof = engine.prove(engine.transport_pk(pk), ctx)
+        engine.verify(vk, proof)
+
+
+class TestWideMixtures:
+    def test_self_interaction_widths(self):
+        """Multi-trace self-interactions at mixed widths/heights (reference
+        uses widths [4,7,8,8,10,100]; we use a representative subset)."""
+        engine = StarkEngine(small_params(2, 7, 3))
+        widths = [4, 7, 10]
+        airs = [SelfInteractionAir(w, bus_index=i) for i, w in enumerate(widths)]
+        ctxs = [
+            (a.generate_trace(1 << (3 + i), seed=i), [], [])
+            for i, a in enumerate(airs)
+        ]
+        engine.run_test(airs, ctxs)
+
+    def test_synthetic_shapes(self):
+        engine = StarkEngine(small_params(2, 5, 3))
+        shapes = [uniform_shape(5, 6, num_constraints=5, num_interactions=4),
+                  uniform_shape(4, 4, num_constraints=3, num_interactions=2)]
+        airs = [SyntheticAir(s) for s in shapes]
+        ctxs = [(a.generate_trace(), [], []) for a in airs]
+        engine.run_test(airs, ctxs)
+
+
+class TestRandomizedParams:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_random_params_roundtrip(self, seed):
+        rng = np.random.default_rng(seed)
+        l_skip = int(rng.integers(1, 4))
+        k_whir = int(rng.integers(2, 4))
+        n_stack = int(rng.integers(3, 6))
+        engine = StarkEngine(small_params(l_skip, n_stack, k_whir))
+        n = 1 << int(rng.integers(2, min(l_skip + n_stack, 5)))
+        trace = FibonacciAir.generate_trace(1, 2, n)
+        pvs = FibonacciAir.pvs(1, 2, n)
+        engine.run_test([FibonacciAir()], [(trace, pvs, [])])
