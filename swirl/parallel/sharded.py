@@ -162,11 +162,13 @@ def sharded_commit_step(mesh: Mesh, l_skip: int, log_blowup: int, k_whir: int):
             leaves = jp2.hash_rows(code_local.T)  # (B, 8)
             cur = leaves
             while cur.shape[0] > 1:
-                cur = jp2.compress_pairs(cur[0::2], cur[1::2])
+                p2 = cur.reshape(-1, 2, 8)
+                cur = jp2.compress_pairs(p2[:, 0], p2[:, 1])
             tails = jax.lax.all_gather(cur[0], AXIS)  # (A, 8)
             cur = tails
             while cur.shape[0] > 1:
-                cur = jp2.compress_pairs(cur[0::2], cur[1::2])
+                p2 = cur.reshape(-1, 2, 8)
+                cur = jp2.compress_pairs(p2[:, 0], p2[:, 1])
             root = cur[0]
 
             # one deg-2 sumcheck round over the local shard + psum:

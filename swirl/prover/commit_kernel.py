@@ -44,9 +44,8 @@ def _jitted(l_skip: int, log_blowup: int, k_whir: int, width: int, height: int):
             )[:, :8]
         layers = [cur]
         while layers[-1].shape[0] > 1:
-            prev = layers[-1]
-            state = jnp.concatenate([prev[0::2], prev[1::2]], axis=-1)
-            layers.append(jp2.permute(state)[:, :8])
+            prev = layers[-1].reshape(-1, 16)
+            layers.append(jp2.permute(prev)[:, :8])
         return code, layers
 
     return jax.jit(kernel)

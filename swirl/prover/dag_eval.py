@@ -126,25 +126,55 @@ class HostEvaluator:
         return self.sels[i]
 
 
+VECTORIZE_THRESHOLD = 128
+
+
 def eval_nodes(dag: ConstraintsDag, evaluator) -> list:
     return eval_dag_nodes(dag, evaluator)
 
 
+def _eval_nodes_device(dag: ConstraintsDag, evaluator):
+    """Dispatch: per-node tracing for small DAGs (better fusion), level-
+    scheduled vectorized interpreter for large ones (bounded trace size)."""
+    if len(dag.nodes) >= VECTORIZE_THRESHOLD:
+        from .dag_vectorized import eval_dag_vectorized
+
+        return eval_dag_vectorized(dag, evaluator)
+    return eval_dag_nodes(dag, evaluator)
+
+
+def _weighted_sum_gather(nodes, indices, weights_dev, ext_mode: bool):
+    """sum_i weights[i] * nodes[indices[i]] via one gather + tree reduce.
+
+    weights_dev: (k, 4) Monty EF. Returns (*batch, 4).
+    """
+    import numpy as _np
+
+    vals = (
+        nodes.gather(indices)
+        if hasattr(nodes, "gather")
+        else jnp.stack([nodes[i] for i in indices], axis=0)
+    )
+    k = len(indices)
+    if ext_mode:
+        w = weights_dev.reshape((k,) + (1,) * (vals.ndim - 2) + (4,))
+        terms = jf.ext_mul(vals, w)
+    else:
+        w = weights_dev.reshape((k,) + (1,) * (vals.ndim - 1) + (4,))
+        terms = jf.mul(vals[..., None], w)
+    return jf.ext_sum(terms, axis=0)
+
+
 def acc_constraints_device(dag: ConstraintsDag, evaluator: DeviceEvaluator, lambda_pows_dev):
     """sum_i lambda^i * constraint_i, as an EF array over the batch."""
-    nodes = eval_nodes(dag, evaluator)
-    acc = None
-    for i, idx in enumerate(dag.constraint_idx):
-        v = nodes[idx]
-        if evaluator.ext_mode:
-            term = jf.ext_mul(v, lambda_pows_dev[i])
-        else:
-            term = jf.mul(lambda_pows_dev[i], v[..., None])
-        acc = term if acc is None else jf.ext_add(acc, term)
-    if acc is None:
+    if not dag.constraint_idx:
         batch = evaluator.sels.shape[1:-1] if evaluator.ext_mode else evaluator.sels.shape[1:]
         return jnp.zeros(tuple(batch) + (4,), jnp.uint32)
-    return acc
+    nodes = _eval_nodes_device(dag, evaluator)
+    k = len(dag.constraint_idx)
+    return _weighted_sum_gather(
+        nodes, dag.constraint_idx, jnp.asarray(lambda_pows_dev)[:k], evaluator.ext_mode
+    )
 
 
 def acc_interactions_device(
@@ -157,7 +187,7 @@ def acc_interactions_device(
     """Returns (numer, denom) EF arrays over the batch:
     numer = sum_s eq3b_s * count_s, denom = sum_s eq3b_s * h_beta_s
     (denominators exclude the alpha shift)."""
-    nodes = eval_nodes(dag, evaluator)
+    nodes = _eval_nodes_device(dag, evaluator)
     numer = None
     denom = None
     for s, it in enumerate(dag.interactions):
@@ -187,7 +217,7 @@ def interactions_pq_device(
     bus_terms_dev,
 ):
     """Per-interaction (count, h_beta) arrays for GKR input evaluation."""
-    nodes = eval_nodes(dag, evaluator)
+    nodes = _eval_nodes_device(dag, evaluator)
     out = []
     for s, it in enumerate(dag.interactions):
         count = nodes[it.count]

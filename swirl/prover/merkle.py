@@ -105,8 +105,8 @@ def build_merkle_tree(matrix, rows_per_query: int, ext: bool = False) -> MerkleT
         n = half
     layers = [cur]
     while layers[-1].shape[0] > 1:
-        prev = layers[-1]
-        layers.append(jp2.compress_pairs(prev[0::2], prev[1::2]))
+        prev = layers[-1].reshape(-1, 2, 8)
+        layers.append(jp2.compress_pairs(prev[:, 0], prev[:, 1]))
     return MerkleTree(layers=layers, rows_per_query=rows_per_query)
 
 

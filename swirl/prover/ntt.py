@@ -54,13 +54,44 @@ def _mul_maybe_ext(x, tw, ext: bool):
 from functools import partial
 
 
+@lru_cache(maxsize=None)
+def _bitrev_indices(log_n: int):
+    n = 1 << log_n
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int32)
+    for b in range(log_n):
+        rev |= ((idx >> b) & 1) << (log_n - 1 - b)
+    return rev
+
+
+@lru_cache(maxsize=None)
+def _dif_twiddles(log_n: int, inverse: bool) -> tuple:
+    """Per-DIF-stage twiddles: stage with half-block size h uses w_{2h}^j."""
+    w = two_adic_generator(log_n)
+    if inverse:
+        w = pow(w, P - 2, P)
+    tables = []
+    for s in range(log_n):  # h = n/2, n/4, ..., 1
+        h = 1 << (log_n - 1 - s)
+        wm = pow(w, 1 << s, P)  # order-2h root
+        tw = np.empty(h, dtype=np.uint64)
+        acc = 1
+        for j in range(h):
+            tw[j] = acc
+            acc = (acc * wm) % P
+        tables.append(jf.const_arr(tw))
+    return tuple(tables)
+
+
 @partial(jax.jit, static_argnames=("inverse", "ext"))
 def ntt(x, inverse: bool = False, ext: bool = False):
     """DFT along the trailing data axis (axis -1, or -2 for ext arrays).
 
     ntt(coeffs)[i] = poly(w^i) with w = two_adic_generator(log N), natural
-    order in/out. With inverse=True computes the unscaled inverse; callers
-    get the true iDFT from :func:`intt`.
+    order in/out. Implemented as iterative decimation-in-frequency with
+    contiguous-block butterflies (TPU-friendly: no minor-axis strided
+    slicing) followed by one bit-reversal gather. With inverse=True this is
+    the unscaled inverse; :func:`intt` applies the 1/N scale.
     """
     axis = -2 if ext else -1
     n = x.shape[axis]
@@ -68,23 +99,30 @@ def ntt(x, inverse: bool = False, ext: bool = False):
         return x
     log_n = n.bit_length() - 1
     assert 1 << log_n == n
-    tables = _twiddles(log_n, inverse)
+    tables = _dif_twiddles(log_n, inverse)
 
-    def rec(v, depth):
-        m = v.shape[axis]
-        if m == 1:
-            return v
+    shape = list(x.shape)
+    lead = shape[: axis if axis == -1 else -2]
+    for s in range(log_n):
+        h = 1 << (log_n - 1 - s)
+        nb = n // (2 * h)
+        tw = tables[s]
         if ext:
-            even = rec(v[..., 0::2, :], depth - 1)
-            odd = rec(v[..., 1::2, :], depth - 1)
+            v = x.reshape(lead + [nb, 2, h, 4])
+            a = v[..., 0, :, :]
+            b = v[..., 1, :, :]
+            top = jf.add(a, b)
+            bot = jf.mul(jf.sub(a, b), tw[:, None])
+            x = jnp.stack([top, bot], axis=-3).reshape(shape)
         else:
-            even = rec(v[..., 0::2], depth - 1)
-            odd = rec(v[..., 1::2], depth - 1)
-        tw = tables[depth - 1]  # length m/2
-        t = _mul_maybe_ext(odd, tw, ext)
-        return jnp.concatenate([jf.add(even, t), jf.sub(even, t)], axis=axis)
-
-    return rec(x, log_n)
+            v = x.reshape(lead + [nb, 2, h])
+            a = v[..., 0, :]
+            b = v[..., 1, :]
+            top = jf.add(a, b)
+            bot = jf.mul(jf.sub(a, b), tw)
+            x = jnp.stack([top, bot], axis=-2).reshape(shape)
+    rev = jnp.asarray(_bitrev_indices(log_n))
+    return jnp.take(x, rev, axis=axis)
 
 
 def intt(x, ext: bool = False):
