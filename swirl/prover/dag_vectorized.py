@@ -5,8 +5,13 @@ one jnp op per DAG node would blow up trace/compile time. Instead the DAG is
 compiled once (host-side) into a *level schedule*: nodes are renumbered so
 that each topological level is a contiguous, op-type-grouped block, and the
 whole level executes as a handful of batched gathers + one batched field op
-per op type. Traced op count scales with DAG depth (typically < 30), not
+per op type. Traced op count scales with DAG depth (typically < 40), not
 node count.
+
+Memory is bounded by a liveness analysis: after each level the value buffer
+is compacted to the nodes that are still referenced by a later level or by
+the DAG's outputs (constraints + interaction fields). Peak live values for
+keccak-f-scale DAGs is a few thousand, vs. >100k total nodes.
 
 This is the TPU-native peer of the reference CUDA backend's three-address
 "rules" bytecode interpreter (``cuda-backend/src/pkey.rs`` /
@@ -17,13 +22,11 @@ XLA instead of a device bytecode VM.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 import jax.numpy as jnp
 
-from ..fields import ext as hext
-from ..fields import jfield as jf
 from ..symbolic import ConstraintsDag
 
 OPS = ("add", "sub", "mul", "neg")
@@ -31,15 +34,27 @@ OPS = ("add", "sub", "mul", "neg")
 
 @dataclass
 class DagSchedule:
-    """Host-side compiled form of a ConstraintsDag."""
+    """Host-side compiled form of a ConstraintsDag.
 
-    # leaves, in new numbering order 0..num_leaves-1
+    Buffers are per-level: ``levels[L]`` maps op -> (left_pos, right_pos)
+    positions *into the level-L input buffer*; ``keeps[L]`` indexes into
+    concat(input_buffer, level_outputs) to form the level-L+1 input buffer.
+    ``out_pos`` maps original output-node indices into the final buffer.
+    """
+
     leaf_kinds: List[Tuple]  # ("const", v) | ("var", e, p, o, i) | ("sel", k)
-    # per level: dict op -> (out_count, left_idx array, right_idx array)
     levels: List[Dict[str, Tuple[np.ndarray, np.ndarray]]]
-    # mapping original node idx -> new idx
-    remap: np.ndarray
-    num_nodes: int
+    keeps: List[np.ndarray]
+    out_pos: Dict[int, int]
+    max_live: int
+
+
+def _output_nodes(dag: ConstraintsDag) -> List[int]:
+    outs = set(dag.constraint_idx)
+    for it in dag.interactions:
+        outs.add(it.count)
+        outs.update(it.message)
+    return sorted(outs)
 
 
 def compile_schedule(dag: ConstraintsDag) -> DagSchedule:
@@ -53,46 +68,72 @@ def compile_schedule(dag: ConstraintsDag) -> DagSchedule:
             level[i] = level[node[1]] + 1
         else:
             level[i] = max(level[node[1]], level[node[2]]) + 1
-
     max_level = int(level.max()) if n else 0
-    remap = np.zeros(n, dtype=np.int64)
-    leaf_kinds: List[Tuple] = []
-    new_idx = 0
-    # level 0: leaves in original order
+
+    outputs = _output_nodes(dag)
+    # last level whose ops consume each node; outputs live to the end
+    last_use = np.array(level)  # a node is born at its own level
     for i, node in enumerate(dag.nodes):
-        if level[i] == 0:
-            remap[i] = new_idx
-            new_idx += 1
-            leaf_kinds.append(node)
+        tag = node[0]
+        if tag in ("const", "var", "sel"):
+            continue
+        children = (node[1],) if tag == "neg" else (node[1], node[2])
+        for c in children:
+            last_use[c] = max(last_use[c], level[i])
+    for i in outputs:
+        last_use[i] = max_level + 1
+
+    # level-0 buffer: live leaves in original order
+    buf_ids: List[int] = [
+        i
+        for i, node in enumerate(dag.nodes)
+        if level[i] == 0 and last_use[i] > 0
+    ]
+    leaf_kinds = [dag.nodes[i] for i in buf_ids]
+    pos = {nid: k for k, nid in enumerate(buf_ids)}
+
     levels: List[Dict[str, Tuple[np.ndarray, np.ndarray]]] = []
+    keeps: List[np.ndarray] = []
+    max_live = len(buf_ids)
     for lv in range(1, max_level + 1):
         by_op: Dict[str, Tuple[List[int], List[int], List[int]]] = {}
-        for i, node in enumerate(dag.nodes):
-            if level[i] != lv:
-                continue
+        for i in np.nonzero(level == lv)[0]:
+            node = dag.nodes[i]
             tag = node[0]
             li = node[1]
             ri = node[2] if tag != "neg" else node[1]
             ids, ls, rs = by_op.setdefault(tag, ([], [], []))
-            ids.append(i)
-            ls.append(li)
-            rs.append(ri)
+            ids.append(int(i))
+            ls.append(pos[li])
+            rs.append(pos[ri])
         level_sched: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+        out_ids: List[int] = []
         for op in OPS:
             if op not in by_op:
                 continue
             ids, ls, rs = by_op[op]
-            for i in ids:
-                remap[i] = new_idx
-                new_idx += 1
             level_sched[op] = (np.array(ls), np.array(rs))
+            out_ids.extend(ids)
         levels.append(level_sched)
-    # remap child indices now that all nodes are numbered
-    for sched in levels:
-        for op, (ls, rs) in sched.items():
-            sched[op] = (remap[ls], remap[rs])
+        # build next buffer: survivors of the current buffer + new outputs
+        ext_ids = buf_ids + out_ids  # positions in concat(buf, outs)
+        next_ids = [nid for nid in ext_ids if last_use[nid] > lv]
+        keep = np.array(
+            [k for k, nid in enumerate(ext_ids) if last_use[nid] > lv],
+            dtype=np.int64,
+        )
+        keeps.append(keep)
+        buf_ids = next_ids
+        pos = {nid: k for k, nid in enumerate(buf_ids)}
+        max_live = max(max_live, len(ext_ids))
+
+    out_pos = {nid: pos[nid] for nid in outputs}
     return DagSchedule(
-        leaf_kinds=leaf_kinds, levels=levels, remap=remap, num_nodes=n
+        leaf_kinds=leaf_kinds,
+        levels=levels,
+        keeps=keeps,
+        out_pos=out_pos,
+        max_live=max_live,
     )
 
 
@@ -107,13 +148,13 @@ def get_schedule(dag: ConstraintsDag) -> DagSchedule:
 
 
 def eval_dag_vectorized(dag: ConstraintsDag, evaluator) -> "NodeValues":
-    """Evaluate all nodes with the level schedule.
+    """Evaluate all output nodes with the level schedule.
 
     `evaluator` provides the same leaf/op interface as DeviceEvaluator.
-    Returns a NodeValues wrapper supporting [original_node_idx].
+    Returns a NodeValues wrapper supporting [original_node_idx] for the
+    DAG's output nodes (constraints + interaction count/message nodes).
     """
     sched = get_schedule(dag)
-    # leaves: evaluate and stack; all leaf values must broadcast to the batch
     leaf_vals = []
     batch_shape = None
     for node in sched.leaf_kinds:
@@ -129,35 +170,36 @@ def eval_dag_vectorized(dag: ConstraintsDag, evaluator) -> "NodeValues":
         leaf_vals.append(v)
     assert batch_shape is not None, "vectorized eval needs at least one var/sel"
     leaf_vals = [jnp.broadcast_to(v, batch_shape) for v in leaf_vals]
-    buf = jnp.stack(leaf_vals, axis=0)  # (num_leaves, *batch)
+    buf = jnp.stack(leaf_vals, axis=0)  # (num_live_leaves, *batch)
 
-    for sched_lv in sched.levels:
+    for level_sched, keep in zip(sched.levels, sched.keeps):
         outs = []
         for op in OPS:
-            if op not in sched_lv:
+            if op not in level_sched:
                 continue
-            ls, rs = sched_lv[op]
+            ls, rs = level_sched[op]
             a = jnp.take(buf, jnp.asarray(ls), axis=0)
             if op == "neg":
                 outs.append(evaluator.neg(a))
             else:
                 b = jnp.take(buf, jnp.asarray(rs), axis=0)
                 outs.append(getattr(evaluator, op)(a, b))
-        buf = jnp.concatenate([buf] + outs, axis=0)
-    return NodeValues(buf, sched.remap)
+        ext = jnp.concatenate([buf] + outs, axis=0)
+        buf = jnp.take(ext, jnp.asarray(keep), axis=0)
+    return NodeValues(buf, sched.out_pos)
 
 
 class NodeValues:
-    """Indexable by ORIGINAL dag node index."""
+    """Indexable by ORIGINAL dag node index (output nodes only)."""
 
-    def __init__(self, buf, remap: np.ndarray):
+    def __init__(self, buf, out_pos: Dict[int, int]):
         self.buf = buf
-        self.remap = remap
+        self.out_pos = out_pos
 
     def __getitem__(self, orig_idx: int):
-        return self.buf[int(self.remap[orig_idx])]
+        return self.buf[self.out_pos[int(orig_idx)]]
 
     def gather(self, orig_indices) -> jnp.ndarray:
         """(k, *batch) stack of node values for original indices."""
-        idx = self.remap[np.asarray(orig_indices, dtype=np.int64)]
+        idx = np.array([self.out_pos[int(i)] for i in orig_indices], dtype=np.int64)
         return jnp.take(self.buf, jnp.asarray(idx), axis=0)
