@@ -112,6 +112,14 @@ class Transcript:
             self_check = self.check_witness(bits, 0)
             assert self_check
             return 0
+        from . import native
+
+        if native.available():
+            w = native.grind(self.state, self.absorb_idx, self.sample_idx, bits)
+            if w >= 0:
+                ok = self.check_witness(bits, w)
+                assert ok
+                return w
         mask = (1 << bits) - 1
         start = 0
         while start < P:
