@@ -26,16 +26,18 @@ import jax.numpy as jnp
 
 from .babybear import EXT_W, P as P_INT
 
-P = jnp.uint32(P_INT)
+# numpy scalars (not jnp) so they embed as immediates inside jit *and*
+# Pallas kernels (jnp scalars become captured constants pallas rejects)
+P = np.uint32(P_INT)
 # R = 2^32 mod P, R2 = R^2 mod P
 R_INT = (1 << 32) % P_INT
 R2_INT = (R_INT * R_INT) % P_INT
 # NPRIME = -P^{-1} mod 2^32  (so that m = t_lo * NPRIME makes t + m*P divisible by 2^32)
 NPRIME_INT = (-pow(P_INT, -1, 1 << 32)) % (1 << 32)
-NPRIME = jnp.uint32(NPRIME_INT)
-R2 = jnp.uint32(R2_INT)
+NPRIME = np.uint32(NPRIME_INT)
+R2 = np.uint32(R2_INT)
 
-MASK16 = jnp.uint32(0xFFFF)
+MASK16 = np.uint32(0xFFFF)
 
 
 def _mul_full(a, b):

@@ -123,3 +123,34 @@ def compress_pairs(left, right):
     """(n, 8), (n, 8) -> (n, 8) via truncated permutation."""
     state = jnp.concatenate([left, right], axis=-1)
     return permute(state)[:, :DIGEST]
+
+
+# ---------------------------------------------------------------------------
+# Lane-major dispatchers: (w, n) column hashing with the batch on the TPU's
+# 128-wide lane axis. Routed to the Pallas kernel (swirl/tpu) when usable
+# (TPU or interpret mode, n a multiple of its tile); otherwise falls back to
+# the row-major spec above via transposes (cheap at small n).
+# ---------------------------------------------------------------------------
+
+
+def hash_cols(matT):
+    """Hash each *column* of a (w, n) Monty-form matrix -> (8, n) digests.
+
+    Equivalent to ``hash_rows(matT.T).T``.
+    """
+    from ..tpu import poseidon2_pallas as pp
+
+    w, n = int(matT.shape[0]), int(matT.shape[1])
+    if pp.usable(w, n):
+        return pp.hash_cols(matT)
+    return jnp.transpose(hash_rows(jnp.transpose(matT)))
+
+
+def compress_cols(pairs):
+    """(16, n) lane-major digest pairs -> (8, n)."""
+    from ..tpu import poseidon2_pallas as pp
+
+    n = int(pairs.shape[1])
+    if pp.usable(WIDTH, n):
+        return pp.compress_cols(pairs)
+    return jnp.transpose(permute(jnp.transpose(pairs))[:, :DIGEST])

@@ -29,23 +29,24 @@ def _jitted(l_skip: int, log_blowup: int, k_whir: int, width: int, height: int):
             [msg, jnp.zeros((width, height * (blow - 1)), jnp.uint32)], axis=1
         )
         code = ntt(padded)
-        digests = jp2.hash_rows(jnp.transpose(code))
-        # strided pairing for the first k_whir levels (query grouping)
+        digests = jp2.hash_cols(code)  # lane-major (8, n), Pallas on TPU
         n = height * blow
         stride = n >> k_whir
         cur = digests
-        while cur.shape[0] > stride:
-            half = cur.shape[0] // 2
-            grouped = cur.reshape(half // stride, 2, stride, 8)
-            cur = jp2.permute(
-                jnp.concatenate([grouped[:, 0], grouped[:, 1]], axis=-1).reshape(
-                    half, 16
-                )
-            )[:, :8]
+        # strided pairing for the first k_whir levels (query grouping)
+        while cur.shape[1] > stride:
+            half = cur.shape[1] // 2
+            grouped = cur.reshape(8, half // stride, 2, stride)
+            pairs = jnp.concatenate(
+                [grouped[:, :, 0].reshape(8, half), grouped[:, :, 1].reshape(8, half)],
+                axis=0,
+            )
+            cur = jp2.compress_cols(pairs)
         layers = [cur]
-        while layers[-1].shape[0] > 1:
-            prev = layers[-1].reshape(-1, 16)
-            layers.append(jp2.permute(prev)[:, :8])
+        while layers[-1].shape[1] > 1:
+            prev = layers[-1].reshape(8, -1, 2)
+            pairs = jnp.concatenate([prev[:, :, 0], prev[:, :, 1]], axis=0)
+            layers.append(jp2.compress_cols(pairs))
         return code, layers
 
     return jax.jit(kernel)

@@ -8,9 +8,15 @@ levels pair rows at stride ``query_stride = num_leaves / rows_per_query``
 the remaining levels are plain binary compression whose layers are retained
 for query proofs.
 
-Digest layers stay on device; query-proof extraction gathers all requested
-siblings per layer in one batched op (one small D2H per layer), which keeps
-host<->device traffic tiny even at 2^24 leaves.
+Digest layers are *lane-major* (8, n) device arrays: the batch index rides
+the TPU's 128-wide lane axis so leaf hashing and compression run in the
+Pallas Poseidon2 kernel (``swirl/tpu/poseidon2_pallas.py``) at full VPU
+occupancy, and the codeword matrix feeds the leaf hash without a transpose
+(it is already (width, height)).
+
+Query-proof extraction gathers all requested siblings per layer in one
+batched op (one small D2H per layer), which keeps host<->device traffic
+tiny even at 2^24 leaves.
 """
 
 from __future__ import annotations
@@ -27,20 +33,21 @@ from ..hash import jposeidon2 as jp2
 
 @dataclass
 class MerkleTree:
-    """Digest layers on device (Monty form); ``layers[0]`` has
-    ``num_leaves / rows_per_query`` digests, the last layer is the root."""
+    """Digest layers on device (Monty form, lane-major (8, n_i));
+    ``layers[0]`` has ``num_leaves / rows_per_query`` digests, the last
+    layer is the root."""
 
-    layers: List[jnp.ndarray]  # each (n_i, 8) uint32 Monty
+    layers: List[jnp.ndarray]  # each (8, n_i) uint32 Monty
     rows_per_query: int
 
     @property
     def root(self) -> np.ndarray:
         """Root digest as canonical uint64 host array (8,)."""
-        return jf.to_host(self.layers[-1][0])
+        return jf.to_host(self.layers[-1][:, 0])
 
     @property
     def query_stride(self) -> int:
-        return int(self.layers[0].shape[0])
+        return int(self.layers[0].shape[1])
 
     @property
     def proof_depth(self) -> int:
@@ -56,8 +63,8 @@ class MerkleTree:
         per_level = []
         cur = idx.copy()
         for layer in self.layers[:-1]:
-            sib = jnp.take(layer, jnp.asarray(cur ^ 1), axis=0)
-            per_level.append(jf.to_host(sib))  # (nq, 8)
+            sib = jnp.take(layer, jnp.asarray(cur ^ 1), axis=1)  # (8, nq)
+            per_level.append(jf.to_host(sib).T)  # (nq, 8)
             cur >>= 1
         return [
             [per_level[lvl][qi] for lvl in range(len(per_level))]
@@ -69,19 +76,18 @@ class MerkleTree:
 
 
 def _leaf_hashes(matrix, ext: bool):
-    """Row digests of the backing matrix.
+    """Column-wise digests (8, height) of the backing matrix.
 
     matrix: device array (width, height) base field, or (width, height, 4)
-    extension field; a logical row concatenates all width entries (EF coeffs
-    flattened) at one height position.
+    extension field; a logical leaf concatenates all width entries (EF
+    coeffs flattened) at one height position.
     """
     if ext:
         w, h, d = matrix.shape
-        rows = jnp.transpose(matrix, (1, 0, 2)).reshape(h, w * d)
+        cols = jnp.transpose(matrix, (0, 2, 1)).reshape(w * d, h)
     else:
-        w, h = matrix.shape
-        rows = jnp.transpose(matrix, (1, 0))
-    return jp2.hash_rows(rows)  # (h, 8) device
+        cols = matrix
+    return jp2.hash_cols(cols)  # (8, h)
 
 
 def build_merkle_tree(matrix, rows_per_query: int, ext: bool = False) -> MerkleTree:
@@ -91,22 +97,23 @@ def build_merkle_tree(matrix, rows_per_query: int, ext: bool = False) -> MerkleT
     assert rows_per_query & (rows_per_query - 1) == 0
     assert rows_per_query <= height
 
-    digests = _leaf_hashes(matrix, ext)  # (height, 8)
+    digests = _leaf_hashes(matrix, ext)  # (8, height)
     query_stride = height // rows_per_query
     # strided pairing: query index y combines row groups 2x and 2x+1
     cur = digests
     n = height
     while n > query_stride:
         half = n // 2
-        grouped = cur.reshape(half // query_stride, 2, query_stride, 8)
-        left = grouped[:, 0].reshape(half, 8)
-        right = grouped[:, 1].reshape(half, 8)
-        cur = jp2.compress_pairs(left, right)
+        grouped = cur.reshape(8, half // query_stride, 2, query_stride)
+        left = grouped[:, :, 0].reshape(8, half)
+        right = grouped[:, :, 1].reshape(8, half)
+        cur = jp2.compress_cols(jnp.concatenate([left, right], axis=0))
         n = half
     layers = [cur]
-    while layers[-1].shape[0] > 1:
-        prev = layers[-1].reshape(-1, 2, 8)
-        layers.append(jp2.compress_pairs(prev[:, 0], prev[:, 1]))
+    while layers[-1].shape[1] > 1:
+        prev = layers[-1].reshape(8, -1, 2)
+        pairs = jnp.concatenate([prev[:, :, 0], prev[:, :, 1]], axis=0)
+        layers.append(jp2.compress_cols(pairs))
     return MerkleTree(layers=layers, rows_per_query=rows_per_query)
 
 

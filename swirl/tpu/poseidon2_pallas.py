@@ -1,0 +1,233 @@
+"""Poseidon2-BabyBear-16 sponge hashing as a Pallas TPU kernel.
+
+Layout: the batch (Merkle leaf index) rides the TPU lane+sublane axes as
+(8, 128) vector registers; the sponge state is a (16, 8, 128) VMEM scratch
+(16 vregs) carried across absorb steps. One grid step = one absorb
+(overwrite up to RATE=8 state rows) + one full permutation. Rounds run in
+``fori_loop``s with round constants as kernel operands, keeping the Mosaic
+program small (~500 vector ops) while the VPU does ~600 Montgomery
+multiplies per permutation on full-width (8, 128) tiles.
+
+Grid: (column_tiles, absorb_chunks); the absorb loop is the *inner* grid
+dimension, so the VMEM state scratch carries the sponge across chunks of
+the same column tile (TPU grids execute sequentially, last axis fastest).
+
+This kernel is the TPU-native equivalent of the reference CUDA kernels
+``cuda/src/merkle_tree.cu`` + ``cuda/src/sponge.cu`` (Poseidon2 row hash +
+digest-layer compression).
+
+All values are Montgomery-form uint32 (see ``swirl/fields/jfield.py``); the
+arithmetic inside the kernel reuses the same portable jnp Montgomery ops.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fields import jfield as jf
+from ..hash.poseidon2 import DIGEST, RATE, WIDTH
+
+TILE_SUB = 8
+TILE_LANE = 128
+TILE = TILE_SUB * TILE_LANE  # batch elements per grid step
+
+
+@lru_cache(maxsize=None)
+def _mont_round_constants():
+    """(ext_all (2*half, 16, 1), internal (n_partial, 1), diag (16, 1))
+    Montgomery-form uint32 numpy arrays, kernel-operand shaped."""
+    from ..hash.jposeidon2 import _mont_constants
+
+    ext_init, internal, ext_final, diag = _mont_constants()
+    ext_all = np.concatenate([ext_init, ext_final], axis=0)
+    return (
+        np.ascontiguousarray(ext_all, dtype=np.uint32),  # (2*half, 16)
+        np.ascontiguousarray(internal[:, None], dtype=np.uint32),  # (13, 1)
+        np.ascontiguousarray(diag[:, None], dtype=np.uint32),  # (16, 1)
+    )
+
+
+def _sbox(x):
+    x2 = jf.mul(x, x)
+    x4 = jf.mul(x2, x2)
+    return jf.mul(jf.mul(x4, x2), x)
+
+
+def _external(s):
+    # s: (16, 8, 128) value
+    lanes = [s[i] for i in range(16)]
+    for c in range(4):
+        x0, x1, x2, x3 = lanes[4 * c : 4 * c + 4]
+        t01 = jf.add(x0, x1)
+        t23 = jf.add(x2, x3)
+        t0123 = jf.add(t01, t23)
+        t01123 = jf.add(t0123, x1)
+        t01233 = jf.add(t0123, x3)
+        lanes[4 * c + 0] = jf.add(t01123, t01)
+        lanes[4 * c + 1] = jf.add(t01123, jf.add(x2, x2))
+        lanes[4 * c + 2] = jf.add(t01233, t23)
+        lanes[4 * c + 3] = jf.add(t01233, jf.add(x0, x0))
+    sums = [
+        jf.add(jf.add(lanes[i], lanes[4 + i]), jf.add(lanes[8 + i], lanes[12 + i]))
+        for i in range(4)
+    ]
+    return jnp.stack([jf.add(lanes[j], sums[j % 4]) for j in range(16)], axis=0)
+
+
+def _permute_in_kernel(s, ext_rc_ref, int_rc_ref, diag_ref, n_half: int,
+                       n_partial: int):
+    """s: (16, 8, 128) Monty value -> permuted value."""
+    diag = diag_ref[...][:, :, None]  # (16, 1, 1)
+
+    s = _external(s)
+
+    def full_round(base):
+        def body(r, s):
+            # round constants as SMEM scalar reads (no vector gather)
+            lanes = jnp.stack(
+                [_sbox(jf.add(s[i], ext_rc_ref[base + r, i])) for i in range(16)],
+                axis=0,
+            )
+            return _external(lanes)
+
+        return body
+
+    s = jax.lax.fori_loop(0, n_half, full_round(0), s)
+
+    def partial_round(r, s):
+        rc = int_rc_ref[r, 0]
+        s0 = _sbox(jf.add(s[0], rc))
+        s = jnp.concatenate([s0[None], s[1:]], axis=0)
+        # static add tree (strided-slice reductions lower to >2D gathers)
+        t = [jf.add(s[2 * i], s[2 * i + 1]) for i in range(8)]
+        t = [jf.add(t[2 * i], t[2 * i + 1]) for i in range(4)]
+        t = [jf.add(t[0], t[1]), jf.add(t[2], t[3])]
+        total = jf.add(t[0], t[1])
+        return jf.add(jf.mul(s, diag), total[None])
+
+    s = jax.lax.fori_loop(0, n_partial, partial_round, s)
+    s = jax.lax.fori_loop(0, n_half, full_round(n_half), s)
+    return s
+
+
+def _hash_kernel(w: int, n_half: int, n_partial: int, in_ref, ext_rc_ref,
+                 int_rc_ref, diag_ref, out_ref, state):
+    """Grid step: absorb one RATE-chunk of up to 8 input rows, permute.
+
+    in_ref: (RATE, 8, 128) block of the (w_pad, nt, 128) input
+    out_ref: (DIGEST, 8, 128) digest block for this column tile
+    state: (WIDTH, 8, 128) VMEM scratch carried across the chunk axis
+    """
+    j = pl.program_id(1)
+    num_chunks = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        state[...] = jnp.zeros_like(state)
+
+    k_last = w - (num_chunks - 1) * RATE  # rows in the final (partial) chunk
+
+    def absorb_and_permute(k: int):
+        s = jnp.concatenate([in_ref[0:k], state[k:WIDTH]], axis=0)
+        s = _permute_in_kernel(
+            s, ext_rc_ref, int_rc_ref, diag_ref, n_half, n_partial
+        )
+        state[...] = s
+
+    if k_last == RATE:
+        absorb_and_permute(RATE)
+    else:
+
+        @pl.when(j < num_chunks - 1)
+        def _():
+            absorb_and_permute(RATE)
+
+        @pl.when(j == num_chunks - 1)
+        def _():
+            absorb_and_permute(k_last)
+
+    @pl.when(j == num_chunks - 1)
+    def _():
+        out_ref[...] = state[0:DIGEST]
+
+
+@lru_cache(maxsize=None)
+def _hash_cols_fn(w: int, interpret: bool):
+    num_chunks = max(1, -(-w // RATE))
+    w_pad = num_chunks * RATE
+    ext_rc, int_rc, diag = _mont_round_constants()
+    n_half = ext_rc.shape[0] // 2
+    n_partial = int_rc.shape[0]
+
+    def run(matT):
+        n = matT.shape[1]
+        nt = n // TILE_LANE
+        if w_pad != matT.shape[0]:
+            matT = jnp.concatenate(
+                [matT, jnp.zeros((w_pad - matT.shape[0], n), jnp.uint32)], axis=0
+            )
+        arr = matT.reshape(w_pad, nt, TILE_LANE)
+        grid = (nt // TILE_SUB, num_chunks)
+        const_spec = lambda shape: pl.BlockSpec(
+            shape, lambda i, j: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+        out = pl.pallas_call(
+            partial(_hash_kernel, w, n_half, n_partial),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (RATE, TILE_SUB, TILE_LANE),
+                    lambda i, j: (j, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    ext_rc.shape, lambda i, j: (0, 0), memory_space=pltpu.SMEM
+                ),
+                pl.BlockSpec(
+                    int_rc.shape, lambda i, j: (0, 0), memory_space=pltpu.SMEM
+                ),
+                const_spec(diag.shape),
+            ],
+            out_specs=pl.BlockSpec(
+                (DIGEST, TILE_SUB, TILE_LANE),
+                lambda i, j: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((DIGEST, nt, TILE_LANE), jnp.uint32),
+            scratch_shapes=[pltpu.VMEM((WIDTH, TILE_SUB, TILE_LANE), jnp.uint32)],
+            interpret=interpret,
+        )(arr, ext_rc, int_rc, diag)
+        return out.reshape(DIGEST, n)
+
+    # interpret mode runs eagerly: jitting would fold the kernel into one
+    # giant XLA CPU program; eager interpretation is slow but only tests
+    # use it.
+    return run if interpret else jax.jit(run)
+
+
+def usable(w: int, n: int) -> bool:
+    from . import pallas_mode
+
+    return pallas_mode() != "off" and n % TILE == 0 and n >= TILE and w > 0
+
+
+def hash_cols(matT) -> jnp.ndarray:
+    """(w, n) Monty matrix -> (8, n) column digests via the Pallas kernel.
+
+    Caller must check :func:`usable` first.
+    """
+    from . import pallas_mode
+
+    w = int(matT.shape[0])
+    return _hash_cols_fn(w, pallas_mode() == "interpret")(matT)
+
+
+def compress_cols(pairs) -> jnp.ndarray:
+    """(16, n) lane-major digest pairs -> (8, n) (sponge with w=16)."""
+    return hash_cols(pairs)
