@@ -88,11 +88,17 @@ def ntt(x, inverse: bool = False, ext: bool = False):
     """DFT along the trailing data axis (axis -1, or -2 for ext arrays).
 
     ntt(coeffs)[i] = poly(w^i) with w = two_adic_generator(log N), natural
-    order in/out. Implemented as iterative decimation-in-frequency with
+    order in/out. Large 2D base-field transforms route to the four-step
+    Stockham Pallas kernel (``swirl/tpu/ntt_pallas.py``, ~2 HBM passes);
+    otherwise this is iterative decimation-in-frequency with
     contiguous-block butterflies (TPU-friendly: no minor-axis strided
     slicing) followed by one bit-reversal gather. With inverse=True this is
     the unscaled inverse; :func:`intt` applies the 1/N scale.
     """
+    from ..tpu import ntt_pallas
+
+    if ntt_pallas.usable(x.shape, ext):
+        return ntt_pallas.ntt(x, inverse=inverse)
     axis = -2 if ext else -1
     n = x.shape[axis]
     if n == 1:

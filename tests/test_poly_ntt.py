@@ -64,6 +64,32 @@ class TestDeviceNtt:
         back = jntt.mobius_transform(z, 4)
         assert np.all(jf.to_host(back) == a)
 
+    def test_pallas_four_step_matches_xla(self):
+        """Interpret-mode four-step Stockham kernel vs the XLA butterfly path
+        (the Pallas kernel only engages at log N >= 16, so this drives it
+        directly with a lowered MIN via monkeypatch-free direct call)."""
+        import os
+
+        from swirl.tpu import ntt_pallas
+
+        rng = np.random.default_rng(7)
+        prev = os.environ.get("SWIRL_PALLAS")
+        os.environ["SWIRL_PALLAS"] = "interpret"
+        try:
+            x = rng.integers(0, bb.P, (2, 1 << 16), dtype=np.uint64)
+            xm = jf.const_arr(x)
+            got = jf.to_host(ntt_pallas.ntt(xm))
+            goti = jf.to_host(ntt_pallas.ntt(xm, inverse=True))
+        finally:
+            if prev is None:
+                os.environ.pop("SWIRL_PALLAS")
+            else:
+                os.environ["SWIRL_PALLAS"] = prev
+        ref = jf.to_host(jntt.ntt(jf.const_arr(x)))
+        refi = jf.to_host(jntt.ntt(jf.const_arr(x), inverse=True))
+        assert np.array_equal(ref, got)
+        assert np.array_equal(refi, goti)
+
     def test_zeta_is_mle_coeffs_to_evals(self):
         # zeta(a)[mask] = sum_{S subset mask} a[S] = MLE with coeffs a
         # evaluated at the boolean point bits(mask)
