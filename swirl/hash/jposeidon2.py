@@ -154,3 +154,29 @@ def compress_cols(pairs):
     if pp.usable(WIDTH, n):
         return pp.compress_cols(pairs)
     return jnp.transpose(permute(jnp.transpose(pairs))[:, :DIGEST])
+
+
+def merkle_tower(digests) -> list:
+    """All binary-compression layers above a (8, n) lane-major digest layer,
+    down to the (8, 1) root.
+
+    Large layers compress one level per kernel; once a layer fits the Pallas
+    tower kernel (n <= 8 KiB digests) the remaining log2(n) levels run in a
+    single launch (small layers would otherwise each pay a dispatch and fall
+    off the Pallas tile-size floor).
+    """
+    from ..tpu import poseidon2_pallas as pp
+
+    layers = []
+    cur = digests
+    while cur.shape[1] > 1:
+        n = int(cur.shape[1])
+        if pp.tower_usable(n):
+            tail = pp.compress_tower(cur)
+            layers.extend(tail)
+            return layers
+        prev = cur.reshape(DIGEST, n // 2, 2)
+        pairs = jnp.concatenate([prev[:, :, 0], prev[:, :, 1]], axis=0)
+        cur = compress_cols(pairs)
+        layers.append(cur)
+    return layers

@@ -42,11 +42,7 @@ def _jitted(l_skip: int, log_blowup: int, k_whir: int, width: int, height: int):
                 axis=0,
             )
             cur = jp2.compress_cols(pairs)
-        layers = [cur]
-        while layers[-1].shape[1] > 1:
-            prev = layers[-1].reshape(8, -1, 2)
-            pairs = jnp.concatenate([prev[:, :, 0], prev[:, :, 1]], axis=0)
-            layers.append(jp2.compress_cols(pairs))
+        layers = [cur] + jp2.merkle_tower(cur)
         return code, layers
 
     return jax.jit(kernel)

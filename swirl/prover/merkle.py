@@ -109,11 +109,7 @@ def build_merkle_tree(matrix, rows_per_query: int, ext: bool = False) -> MerkleT
         right = grouped[:, :, 1].reshape(8, half)
         cur = jp2.compress_cols(jnp.concatenate([left, right], axis=0))
         n = half
-    layers = [cur]
-    while layers[-1].shape[1] > 1:
-        prev = layers[-1].reshape(8, -1, 2)
-        pairs = jnp.concatenate([prev[:, :, 0], prev[:, :, 1]], axis=0)
-        layers.append(jp2.compress_cols(pairs))
+    layers = [cur] + jp2.merkle_tower(cur)
     return MerkleTree(layers=layers, rows_per_query=rows_per_query)
 
 

@@ -59,9 +59,11 @@ def _sbox(x):
     return jf.mul(jf.mul(x4, x2), x)
 
 
-def _external(s):
-    # s: (16, 8, 128) value
-    lanes = [s[i] for i in range(16)]
+def _external_t(lanes):
+    # lanes: tuple of 16 (8, 128) values; returns a new tuple (no stacking —
+    # keeping the state as 16 separate vregs avoids a full-state relayout
+    # copy per round)
+    lanes = list(lanes)
     for c in range(4):
         x0, x1, x2, x3 = lanes[4 * c : 4 * c + 4]
         t01 = jf.add(x0, x1)
@@ -77,43 +79,40 @@ def _external(s):
         jf.add(jf.add(lanes[i], lanes[4 + i]), jf.add(lanes[8 + i], lanes[12 + i]))
         for i in range(4)
     ]
-    return jnp.stack([jf.add(lanes[j], sums[j % 4]) for j in range(16)], axis=0)
+    return tuple(jf.add(lanes[j], sums[j % 4]) for j in range(16))
 
 
-def _permute_in_kernel(s, ext_rc_ref, int_rc_ref, diag_ref, n_half: int,
-                       n_partial: int):
-    """s: (16, 8, 128) Monty value -> permuted value."""
-    diag = diag_ref[...][:, :, None]  # (16, 1, 1)
-
-    s = _external(s)
+def _permute_tuple(lanes, ext_rc_ref, int_rc_ref, diag_ref, n_half: int,
+                   n_partial: int):
+    """lanes: tuple of 16 (8, 128) Monty values -> permuted tuple."""
+    lanes = _external_t(lanes)
 
     def full_round(base):
-        def body(r, s):
-            # round constants as SMEM scalar reads (no vector gather)
-            lanes = jnp.stack(
-                [_sbox(jf.add(s[i], ext_rc_ref[base + r, i])) for i in range(16)],
-                axis=0,
+        def body(r, lanes):
+            return _external_t(
+                tuple(
+                    _sbox(jf.add(lanes[i], ext_rc_ref[base + r, i]))
+                    for i in range(16)
+                )
             )
-            return _external(lanes)
 
         return body
 
-    s = jax.lax.fori_loop(0, n_half, full_round(0), s)
+    lanes = jax.lax.fori_loop(0, n_half, full_round(0), lanes)
 
-    def partial_round(r, s):
+    def partial_round(r, lanes):
         rc = int_rc_ref[r, 0]
-        s0 = _sbox(jf.add(s[0], rc))
-        s = jnp.concatenate([s0[None], s[1:]], axis=0)
-        # static add tree (strided-slice reductions lower to >2D gathers)
+        s0 = _sbox(jf.add(lanes[0], rc))
+        s = (s0,) + lanes[1:]
         t = [jf.add(s[2 * i], s[2 * i + 1]) for i in range(8)]
         t = [jf.add(t[2 * i], t[2 * i + 1]) for i in range(4)]
-        t = [jf.add(t[0], t[1]), jf.add(t[2], t[3])]
-        total = jf.add(t[0], t[1])
-        return jf.add(jf.mul(s, diag), total[None])
+        total = jf.add(jf.add(t[0], t[1]), jf.add(t[2], t[3]))
+        return tuple(
+            jf.add(jf.mul(s[i], diag_ref[i, 0]), total) for i in range(16)
+        )
 
-    s = jax.lax.fori_loop(0, n_partial, partial_round, s)
-    s = jax.lax.fori_loop(0, n_half, full_round(n_half), s)
-    return s
+    lanes = jax.lax.fori_loop(0, n_partial, partial_round, lanes)
+    return jax.lax.fori_loop(0, n_half, full_round(n_half), lanes)
 
 
 def _hash_kernel(w: int, n_half: int, n_partial: int, in_ref, ext_rc_ref,
@@ -134,11 +133,14 @@ def _hash_kernel(w: int, n_half: int, n_partial: int, in_ref, ext_rc_ref,
     k_last = w - (num_chunks - 1) * RATE  # rows in the final (partial) chunk
 
     def absorb_and_permute(k: int):
-        s = jnp.concatenate([in_ref[0:k], state[k:WIDTH]], axis=0)
-        s = _permute_in_kernel(
-            s, ext_rc_ref, int_rc_ref, diag_ref, n_half, n_partial
+        lanes = tuple(in_ref[i] for i in range(k)) + tuple(
+            state[i] for i in range(k, WIDTH)
         )
-        state[...] = s
+        lanes = _permute_tuple(
+            lanes, ext_rc_ref, int_rc_ref, diag_ref, n_half, n_partial
+        )
+        for i in range(WIDTH):
+            state[i] = lanes[i]
 
     if k_last == RATE:
         absorb_and_permute(RATE)
@@ -192,7 +194,9 @@ def _hash_cols_fn(w: int, interpret: bool):
                 pl.BlockSpec(
                     int_rc.shape, lambda i, j: (0, 0), memory_space=pltpu.SMEM
                 ),
-                const_spec(diag.shape),
+                pl.BlockSpec(
+                    diag.shape, lambda i, j: (0, 0), memory_space=pltpu.SMEM
+                ),
             ],
             out_specs=pl.BlockSpec(
                 (DIGEST, TILE_SUB, TILE_LANE),
@@ -231,3 +235,100 @@ def hash_cols(matT) -> jnp.ndarray:
 def compress_cols(pairs) -> jnp.ndarray:
     """(16, n) lane-major digest pairs -> (8, n) (sponge with w=16)."""
     return hash_cols(pairs)
+
+
+def _tower_kernel(levels: int, n_half: int, n_partial: int, in_ref,
+                  ext_rc_ref, int_rc_ref, diag_ref, *out_refs):
+    """One grid step: fold a bit-reversed (8, n) digest layer to the root.
+
+    Writes every intermediate layer (n/2, n/4, ..., 1) — Merkle query proofs
+    need all of them. The input lanes hold leaf ``bitrev(p)`` at position
+    ``p``; in that order the natural pairing (2i, 2i+1) is exactly (first
+    half, second half), so every level is two contiguous lane-halves and a
+    concatenate — Mosaic has no lane-deinterleave. Outputs stay
+    bit-reversed; the caller un-permutes (small XLA gathers).
+    """
+    n = in_ref.shape[1]
+    cur = in_ref[...]  # (8, n) bit-reversed; live prefix shrinks per level
+    live = n
+    for lvl in range(levels):
+        m2 = live // 2
+        if m2 % TILE_LANE == 0:
+            # tile-aligned halves: plain lane slices
+            pairs = jnp.concatenate([cur[:, :m2], cur[:, m2:]], axis=0)
+            cur_w = m2
+        else:
+            # sub-tile levels: stay at full 128-lane width (garbage lanes
+            # beyond the live prefix) — Mosaic has no lane-deinterleave and
+            # can't concat lane-offset slices, but roll is native
+            w = cur.shape[1]
+            right = pltpu.roll(cur, shift=w - m2, axis=1)
+            pairs = jnp.concatenate([cur, right], axis=0)
+            cur_w = w
+        lanes = tuple(pairs[i : i + 1] for i in range(WIDTH))
+        lanes = _permute_tuple(
+            lanes, ext_rc_ref, int_rc_ref, diag_ref, n_half, n_partial
+        )
+        cur = jnp.concatenate(lanes[:DIGEST], axis=0)  # (8, cur_w)
+        out_refs[lvl][...] = cur[:, :m2]
+        live = m2
+
+
+@lru_cache(maxsize=None)
+def _bitrev(log_n: int) -> np.ndarray:
+    idx = np.arange(1 << log_n)
+    rev = np.zeros(1 << log_n, dtype=np.int32)
+    for b in range(log_n):
+        rev |= ((idx >> b) & 1) << (log_n - 1 - b)
+    return rev
+
+
+@lru_cache(maxsize=None)
+def _tower_fn(n: int, interpret: bool):
+    levels = n.bit_length() - 1
+    ext_rc, int_rc, diag = _mont_round_constants()
+    n_half = ext_rc.shape[0] // 2
+    n_partial = int_rc.shape[0]
+
+    def run(digests):
+        d_br = jnp.take(digests, jnp.asarray(_bitrev(levels)), axis=1)
+        outs = pl.pallas_call(
+            partial(_tower_kernel, levels, n_half, n_partial),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=tuple(
+                pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(levels)
+            ),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((DIGEST, n >> (lvl + 1)), jnp.uint32)
+                for lvl in range(levels)
+            ),
+            interpret=interpret,
+        )(d_br, ext_rc, int_rc, diag)
+        outs = [outs] if levels == 1 else list(outs)
+        # back to natural order: layer lvl stores node bitrev(p) at p
+        return [
+            jnp.take(layer, jnp.asarray(_bitrev(levels - 1 - lvl)), axis=1)
+            for lvl, layer in enumerate(outs)
+        ]
+
+    return run if interpret else jax.jit(run)
+
+
+def tower_usable(n: int) -> bool:
+    from . import pallas_mode
+
+    return pallas_mode() != "off" and 256 <= n <= 8 * TILE and (n & (n - 1)) == 0
+
+
+def compress_tower(digests) -> list:
+    """(8, n) lane-major digests -> [(8, n/2), ..., (8, 1)] tower layers in
+    one kernel launch. Caller must check :func:`tower_usable` first."""
+    from . import pallas_mode
+
+    n = int(digests.shape[1])
+    return _tower_fn(n, pallas_mode() == "interpret")(digests)
