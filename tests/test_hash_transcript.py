@@ -135,3 +135,67 @@ class TestTranscript:
         t.observe(9)
         b = t.sample_bits(10)
         assert 0 <= b < 1024
+
+
+class TestTranscriptValidator:
+    def test_replay_matches(self):
+        from swirl.transcript import Transcript, TranscriptValidator
+
+        rec = Transcript(record=True)
+        rec.observe(5)
+        rec.observe_slice([1, 2, 3])
+        s1 = rec.sample()
+        rec.observe(9)
+        s2 = rec.sample_ext()
+
+        val = TranscriptValidator(rec.log)
+        val.observe(5)
+        val.observe_slice([1, 2, 3])
+        assert val.sample() == s1
+        val.observe(9)
+        assert val.sample_ext().tolist() == list(s2)
+        val.finish()
+
+    def test_divergence_detected(self):
+        import pytest
+        from swirl.transcript import (
+            Transcript,
+            TranscriptDivergence,
+            TranscriptValidator,
+        )
+
+        rec = Transcript(record=True)
+        rec.observe(5)
+        rec.sample()
+
+        val = TranscriptValidator(rec.log)
+        with pytest.raises(TranscriptDivergence):
+            val.observe(6)
+
+        val2 = TranscriptValidator(rec.log)
+        val2.observe(5)
+        with pytest.raises(TranscriptDivergence):
+            val2.finish()
+
+    def test_prover_verifier_event_stream_identical(self):
+        """Record the prover's transcript, replay the verifier against it
+        event-by-event (the reference's recorder/validator QA harness)."""
+        import numpy as np
+        from swirl.engine import StarkEngine
+        from swirl.params import test_system_params_small
+        from swirl.testing.fixtures import FibonacciAir
+        from swirl.transcript import Transcript, TranscriptValidator
+        from swirl.prover.backend import ProvingContext
+
+        eng = StarkEngine(test_system_params_small(2, 5, 2))
+        air = FibonacciAir()
+        trace = FibonacciAir.generate_trace(0, 1, 32)
+        pvs = FibonacciAir.pvs(0, 1, 32)
+        pk, vk = eng.keygen([air])
+        ctx = ProvingContext([eng.context_for(0, trace, pvs, [])])
+        dpk = eng.transport_pk(pk)
+        rec = Transcript(record=True)
+        proof = eng.prove(dpk, ctx, transcript=rec)
+        val = TranscriptValidator(rec.log)
+        eng.verify(vk, proof, transcript=val)
+        val.finish()
