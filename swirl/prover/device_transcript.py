@@ -1,0 +1,193 @@
+"""Duplex-sponge Fiat-Shamir transcript living on device, for the fused
+single-program prover.
+
+Mirrors :class:`swirl.transcript.Transcript` bit-for-bit: same overwrite
+duplex semantics, same Poseidon2 permutation (the device permutation is
+tested equal to the host one), same grind scan order — so a fused proof is
+byte-identical to a host-path proof.
+
+The state is a (16,) Monty-form traced array; absorb/sample cursors are
+*Python* ints — the protocol's observe/sample sequence is static given the
+proof shape, so cursor control flow happens at trace time. Every
+permutation call goes through an inner ``jax.jit`` so the unrolled
+transcript contributes one call HLO per permutation instead of inlining
+~2k ops each time.
+
+Value conventions (trace mode):
+- ``observe(v)`` / ``check_witness`` / ``grind``: canonical scalars
+  (Python ints or traced uint32).
+- ``observe_ext`` / ``observe_commit`` with traced arrays: Monty form.
+- ``sample`` / ``sample_ext``: return Monty form; ``sample_bits`` returns a
+  canonical traced uint32 (for query indices).
+
+This is the TPU-native extreme of the reference's device-resident sponge
+(``cuda-backend/src/sponge.rs`` keeps a GPU mirror and syncs with the host;
+here the *entire prove* is one XLA program, so there is nothing to sync).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fields import jfield as jf
+from ..fields.babybear import P
+from ..hash.poseidon2 import DIGEST, RATE, WIDTH
+
+EF_D = 4
+
+
+@lru_cache(maxsize=None)
+def _permute_jit():
+    from ..hash import jposeidon2 as jp2
+
+    return jax.jit(jp2.permute)
+
+
+@lru_cache(maxsize=None)
+def _grind_batch_jit(absorb_idx: int, sample_idx: int, bits: int, batch: int):
+    """One grind probe step: try `batch` candidate witnesses from `start`.
+
+    Returns (found, witness): first (lowest) candidate in the batch whose
+    post-observe sample has `bits` low zero bits, matching the host scan
+    order exactly.
+    """
+    from ..hash import jposeidon2 as jp2
+
+    mask = np.uint32((1 << bits) - 1)
+
+    @jax.jit
+    def step(state, start):
+        cand = start + jax.lax.broadcasted_iota(jnp.uint32, (batch, 1), 0)[:, 0]
+        states = jnp.broadcast_to(state, (batch, WIDTH))
+        states = states.at[:, absorb_idx].set(jf.from_u32(cand))
+        a_idx = absorb_idx + 1
+        s_idx = sample_idx
+        if a_idx == RATE:
+            states = jp2.permute(states)
+            a_idx, s_idx = 0, RATE
+        if a_idx != 0 or s_idx == 0:
+            states = jp2.permute(states)
+            s_idx = RATE
+        s_idx -= 1
+        hits = (jf.to_u32(states[:, s_idx]) & mask) == 0
+        found = jnp.any(hits)
+        first = jnp.argmax(hits).astype(jnp.uint32)
+        return found, start + first
+
+    return step
+
+
+class DeviceTranscript:
+    """Traced duplex sponge (overwrite mode, WIDTH 16 / RATE 8)."""
+
+    __slots__ = ("state", "absorb_idx", "sample_idx")
+
+    def __init__(self):
+        self.state = jnp.zeros(WIDTH, jnp.uint32)
+        self.absorb_idx = 0
+        self.sample_idx = 0
+
+    def _permute(self):
+        self.state = _permute_jit()(self.state)
+
+    # -- core duplex ops ----------------------------------------------------
+
+    def _observe_monty(self, v) -> None:
+        self.state = self.state.at[self.absorb_idx].set(v)
+        self.absorb_idx += 1
+        if self.absorb_idx == RATE:
+            self._permute()
+            self.absorb_idx = 0
+            self.sample_idx = RATE
+
+    def observe(self, value) -> None:
+        if isinstance(value, (int, np.integer)):
+            self._observe_monty(jnp.uint32(jf.const(int(value) % P)))
+        else:
+            self._observe_monty(jf.from_u32(jnp.asarray(value, jnp.uint32)))
+
+    def sample(self):
+        """One squeezed element, Monty form."""
+        if self.absorb_idx != 0 or self.sample_idx == 0:
+            self._permute()
+            self.absorb_idx = 0
+            self.sample_idx = RATE
+        self.sample_idx -= 1
+        return self.state[self.sample_idx]
+
+    # -- derived ops ----------------------------------------------------------
+
+    def observe_slice(self, values) -> None:
+        if isinstance(values, (list, tuple)):
+            for v in values:
+                self.observe(v)
+            return
+        arr = values
+        if isinstance(arr, np.ndarray):
+            for v in np.asarray(arr, dtype=np.uint64).ravel():
+                self.observe(int(v))
+        else:
+            flat = jnp.ravel(arr)
+            for i in range(flat.shape[0]):
+                self._observe_monty(flat[i])  # traced arrays are Monty
+
+    def observe_commit(self, digest) -> None:
+        if isinstance(digest, np.ndarray) and digest.dtype == np.uint64:
+            assert digest.ravel().shape[0] == DIGEST
+            self.observe_slice(digest)
+        else:  # device digests (jnp or numpy uint32) are Monty form
+            d = jnp.ravel(jnp.asarray(digest))
+            assert d.shape[0] == DIGEST
+            for i in range(DIGEST):
+                self._observe_monty(d[i])
+
+    def observe_ext(self, value) -> None:
+        if isinstance(value, np.ndarray) and value.dtype == np.uint64:
+            for v in value.ravel():
+                self.observe(int(v))
+            return
+        v = jnp.ravel(value)
+        assert v.shape[0] == EF_D
+        for i in range(EF_D):
+            self._observe_monty(v[i])
+
+    def sample_ext(self):
+        return jnp.stack([self.sample() for _ in range(EF_D)])
+
+    def sample_bits(self, bits: int):
+        assert 0 <= bits < 32 and (1 << bits) < P
+        return jf.to_u32(self.sample()) & jnp.uint32((1 << bits) - 1)
+
+    # -- proof of work --------------------------------------------------------
+
+    def check_witness(self, bits: int, witness) -> None:
+        if bits == 0:
+            return
+        self.observe(witness)
+        self.sample_bits(bits)  # state advance; validity enforced by verifier
+
+    def grind(self, bits: int, batch: int = 8192):
+        assert 0 <= bits < 32 and (1 << bits) < P
+        if bits == 0:
+            return jnp.uint32(0)
+        step = _grind_batch_jit(self.absorb_idx, self.sample_idx, bits, batch)
+        state = self.state
+
+        def cond(carry):
+            start, found, _ = carry
+            return jnp.logical_not(found)
+
+        def body(carry):
+            start, _, _ = carry
+            found, w = step(state, start)
+            return (start + jnp.uint32(batch), found, w)
+
+        _, _, w = jax.lax.while_loop(
+            cond, body, (jnp.uint32(0), jnp.bool_(False), jnp.uint32(0))
+        )
+        self.check_witness(bits, w)
+        return w
