@@ -68,33 +68,47 @@ def _redc(hi, lo):
     return jnp.where(u >= P, u - P, u)
 
 
+@jax.jit
 def mul(a, b):
-    """Montgomery product of arrays in Monty form (broadcasts)."""
+    """Montgomery product of arrays in Monty form (broadcasts).
+
+    jit-wrapped (like every jf op below): in eager host mode a field op is
+    one fused dispatch instead of ~20, and inside larger traces (including
+    the fused whole-proof prover) each call contributes ONE call equation
+    instead of dozens of primitives — tracing the full prove would
+    otherwise take minutes. Mosaic inlines inner pjit calls, so Pallas
+    kernels can keep calling these helpers.
+    """
     a, b = jnp.broadcast_arrays(a, b)
     hi, lo = _mul_full(a, b)
     return _redc(hi, lo)
 
 
+@jax.jit
 def add(a, b):
     s = a + b  # both < P < 2^31 so no wrap
     return jnp.where(s >= P, s - P, s)
 
 
+@jax.jit
 def sub(a, b):
     d = a - b  # wraps if negative
     return jnp.where(a >= b, d, d + P)
 
 
+@jax.jit
 def neg(a):
     return jnp.where(a == 0, a, P - a)
 
 
+@jax.jit
 def from_u32(x):
     """Canonical uint32 values -> Monty form (device)."""
     x = jnp.asarray(x, jnp.uint32)
     return mul(x, R2)
 
 
+@jax.jit
 def to_u32(x):
     """Monty form -> canonical uint32 (device). REDC with hi = 0."""
     return _redc(jnp.zeros_like(x), x)
@@ -136,6 +150,7 @@ def pow_const(a, e: int):
     return result
 
 
+@jax.jit
 def inv(a):
     """Elementwise inverse by Fermat (a^(P-2)). a must be nonzero."""
     return pow_const(a, P_INT - 2)
@@ -168,6 +183,7 @@ def ext_neg(a):
     return neg(a)
 
 
+@jax.jit
 def ext_mul(a, b):
     """EF4 * EF4 with x^4 = W (broadcasts leading dims)."""
     a, b = jnp.broadcast_arrays(a, b)
@@ -181,6 +197,7 @@ def ext_mul(a, b):
     return jnp.stack([c0, c1, c2, c3], axis=-1)
 
 
+@jax.jit
 def ext_scale(a, s):
     """EF * base-field scalar (both Monty)."""
     return mul(a, jnp.asarray(s)[..., None])

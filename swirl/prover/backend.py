@@ -236,13 +236,14 @@ class Coordinator:
             )
 
         # u_cube: replace the prism coordinate u0 with its bit powers
-        from ..fields import ext as hext
+        from .vmode import vm as _vm
 
+        _ext = _vm().ext
         u_cube = []
         cur = u[0]
         for _ in range(params.l_skip):
             u_cube.append(cur)
-            cur = hext.emul(cur, cur)
+            cur = _ext.emul(cur, cur)
         u_cube.extend(u[1:])
 
         with metrics.span("prove_whir"):

@@ -86,7 +86,10 @@ class DeviceEvaluator:
 
 
 class HostEvaluator:
-    """Single-point EF evaluation (verifier / prover tail)."""
+    """Single-point EF evaluation (verifier / prover tail).
+
+    Value-mode polymorphic: in the fused prover's trace mode the "points"
+    are traced Monty scalars and the ops come from ``fields.text``."""
 
     def __init__(
         self,
@@ -95,25 +98,28 @@ class HostEvaluator:
         parts: Sequence[Sequence[Tuple[np.ndarray, np.ndarray]]],
         public_values: Sequence[int],
     ):
+        from .vmode import vm
+
+        self._ext = vm().ext
         self.sels = sels
         self.preprocessed = preprocessed
         self.parts = parts
         self.public_values = public_values
 
     def add(self, a, b):
-        return hext.eadd(a, b)
+        return self._ext.eadd(a, b)
 
     def sub(self, a, b):
-        return hext.esub(a, b)
+        return self._ext.esub(a, b)
 
     def neg(self, a):
-        return hext.eneg(a)
+        return self._ext.eneg(a)
 
     def mul(self, a, b):
-        return hext.emul(a, b)
+        return self._ext.emul(a, b)
 
     def eval_const(self, c: int):
-        return hext.from_base(c)
+        return self._ext.from_base(c)
 
     def eval_var(self, entry: str, part: int, offset: int, index: int):
         if entry == "public":
@@ -234,24 +240,30 @@ def interactions_pq_device(
 
 
 def acc_constraints_host(dag: ConstraintsDag, evaluator: HostEvaluator, lambda_pows):
+    from .vmode import vm
+
+    ext = vm().ext
     nodes = eval_nodes(dag, evaluator)
-    acc = hext.ezero()
+    acc = ext.ezero()
     for i, idx in enumerate(dag.constraint_idx):
-        acc = hext.eadd(acc, hext.emul(nodes[idx], lambda_pows[i]))
+        acc = ext.eadd(acc, ext.emul(nodes[idx], lambda_pows[i]))
     return acc
 
 
 def acc_interactions_host(
     dag: ConstraintsDag, evaluator: HostEvaluator, beta_pows, eq_3bs
 ):
+    from .vmode import vm
+
+    ext = vm().ext
     nodes = eval_nodes(dag, evaluator)
-    numer = hext.ezero()
-    denom = hext.ezero()
+    numer = ext.ezero()
+    denom = ext.ezero()
     for s, it in enumerate(dag.interactions):
         count = nodes[it.count]
-        h_beta = hext.escale(beta_pows[len(it.message)], (it.bus_index + 1) % P)
+        h_beta = ext.escale(beta_pows[len(it.message)], (it.bus_index + 1) % P)
         for j, m_idx in enumerate(it.message):
-            h_beta = hext.eadd(h_beta, hext.emul(beta_pows[j], nodes[m_idx]))
-        numer = hext.eadd(numer, hext.emul(eq_3bs[s], count))
-        denom = hext.eadd(denom, hext.emul(eq_3bs[s], h_beta))
+            h_beta = ext.eadd(h_beta, ext.emul(beta_pows[j], nodes[m_idx]))
+        numer = ext.eadd(numer, ext.emul(eq_3bs[s], count))
+        denom = ext.eadd(denom, ext.emul(eq_3bs[s], h_beta))
     return numer, denom

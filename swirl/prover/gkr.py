@@ -24,6 +24,7 @@ from ..fields import jfield as jf
 from ..proof import GkrLayerClaims, GkrProof
 from ..transcript import Transcript
 from .sumcheck import fold_mle_vec
+from .vmode import vm
 
 
 @dataclass
@@ -43,17 +44,18 @@ def _combine_layer(p, q):
     return p_out, q_out
 
 
-def _ef(x) -> np.ndarray:
-    return jf.ext_to_host(x)
+def _ef(x):
+    return vm().ef(x)
 
 
 def fractional_sumcheck(
     transcript: Transcript, p_evals, q_evals, assert_zero: bool = True
 ) -> FracSumcheckResult:
     """p_evals, q_evals: device (2^t, 4) EF arrays (may be empty lists)."""
+    v = vm()
     if p_evals is None:
         return FracSumcheckResult(
-            (hext.ezero(), hext.eone()), [], [], []
+            (v.ext.ezero(), v.ext.eone()), [], [], []
         )
     total_rounds = int(p_evals.shape[0]).bit_length() - 1
     assert p_evals.shape[0] == 1 << total_rounds
@@ -66,8 +68,7 @@ def fractional_sumcheck(
 
     root_p, root_q = _ef(layers[0][0][0]), _ef(layers[0][1][0])
     if assert_zero:
-        if not hext.is_zero(root_p):
-            raise ValueError("LogUp fractional sum is non-zero")
+        v.assert_zero(root_p, "LogUp fractional sum is non-zero")
     else:
         transcript.observe_ext(root_p)
     transcript.observe_ext(root_q)
@@ -81,8 +82,8 @@ def fractional_sumcheck(
         p_xi_0=_ef(p1[0]), p_xi_1=_ef(p1[1]), q_xi_0=_ef(q1[0]), q_xi_1=_ef(q1[1])
     )
     claims.append(cl)
-    for v in (cl.p_xi_0, cl.q_xi_0, cl.p_xi_1, cl.q_xi_1):
-        transcript.observe_ext(v)
+    for c in (cl.p_xi_0, cl.q_xi_0, cl.p_xi_1, cl.q_xi_1):
+        transcript.observe_ext(c)
     mu_1 = transcript.sample_ext()
     xi_prev = [mu_1]
 
@@ -90,14 +91,14 @@ def fractional_sumcheck(
 
     for rnd in range(1, total_rounds):
         lam = transcript.sample_ext()
-        lam_dev = jf.ext_const(lam)
+        lam_dev = v.ef_dev(lam)
 
         p_next, q_next = layers[rnd + 1]
         size = 1 << rnd
         # columns over y in H_rnd: p(0,y)=p_next[2y], p(1,y)=p_next[2y+1]
         p0, p1v = p_next[0::2], p_next[1::2]
         q0, q1v = q_next[0::2], q_next[1::2]
-        eq_tab = eq_hypercube_dev(np.stack(xi_prev))
+        eq_tab = eq_hypercube_dev(v.stack(xi_prev))
 
         round_polys: List[List[np.ndarray]] = []
         rho: List[np.ndarray] = []
@@ -119,12 +120,12 @@ def fractional_sumcheck(
                 q_prev = jf.ext_mul(b0, b1)
                 val = jf.ext_mul(e, jf.ext_add(p_prev, jf.ext_mul(lam_dev, q_prev)))
                 evals_at.append(_ef(jf.ext_sum(val, axis=0)))
-            for v in evals_at:
-                transcript.observe_ext(v)
+            for c in evals_at:
+                transcript.observe_ext(c)
             round_polys.append(evals_at)
             r_sub = transcript.sample_ext()
             rho.append(r_sub)
-            r_dev = jf.ext_const(r_sub)
+            r_dev = v.ef_dev(r_sub)
             cols = [fold_mle_vec(v, r_dev) for v in cols]
 
         cl = GkrLayerClaims(
@@ -134,8 +135,8 @@ def fractional_sumcheck(
             q_xi_1=_ef(cols[4][0]),
         )
         claims.append(cl)
-        for v in (cl.p_xi_0, cl.q_xi_0, cl.p_xi_1, cl.q_xi_1):
-            transcript.observe_ext(v)
+        for c in (cl.p_xi_0, cl.q_xi_0, cl.p_xi_1, cl.q_xi_1):
+            transcript.observe_ext(c)
         mu = transcript.sample_ext()
         xi_prev = [mu] + rho
         sumcheck_polys.append(round_polys)

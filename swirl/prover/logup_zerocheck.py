@@ -43,7 +43,7 @@ from .dag_eval import (
 from .gkr import fractional_sumcheck
 from .stacked_pcs import StackedLayout
 from .sumcheck import (
-    barycentric_weights_host,
+    barycentric_weights_dev,
     coset_eval_chunks,
     eq_hypercube_dev,
     fold_mle,
@@ -52,10 +52,17 @@ from .sumcheck import (
     rot1,
     selectors_matrix,
 )
+from .vmode import vm
 
 
 def sumcheck_round0_deg(l_skip: int, d: int) -> int:
     return d * ((1 << l_skip) - 1)
+
+
+def jnp_transpose(v, arr, w: int, l_skip: int):
+    """(w * 2^l_skip, 4) coset-major evals -> (2^l_skip, w, 4) grid."""
+    del v
+    return arr.reshape(w, 1 << l_skip, 4).transpose(1, 0, 2)
 
 
 @dataclass
@@ -117,11 +124,8 @@ class LogupZerocheckProver:
         """Device eq table over xi[start:end] (bit j <-> xi[start + j])."""
         key = (start, end)
         if key not in self._eq_tables:
-            vec = (
-                np.stack(self.xi[start:end])
-                if end > start
-                else np.zeros((0, 4), dtype=U64)
-            )
+            v = vm()
+            vec = v.stack([self.xi[i] for i in range(start, end)])
             self._eq_tables[key] = eq_hypercube_dev(vec)
         return self._eq_tables[key]
 
@@ -132,12 +136,13 @@ def prove_zerocheck_and_logup(
     global_degree: int,
     traces: List[TraceProver],
 ) -> Tuple[GkrProof, BatchConstraintProof, List[np.ndarray]]:
+    v = vm()
     l_skip = params.l_skip
     num_traces = len(traces)
     pv = LogupZerocheckProver(params, global_degree, traces)
     n_max = pv.n_max
     d_global = global_degree
-    ZERO = hext.ezero()
+    ZERO = v.ext.ezero()
 
     # interactions stacked layout (striding threshold 0; widths are
     # interaction counts, heights are lifted trace heights)
@@ -158,17 +163,18 @@ def prove_zerocheck_and_logup(
     max_msg_len = max(
         (len(it.message) for t in traces for it in t.dag.interactions), default=0
     )
-    beta_pows = hext.epowers(beta, max_msg_len + 1)
-    beta_pows_dev = jf.const_arr(beta_pows)
+    beta_pows = v.ext.epowers(beta, max_msg_len + 1)
+    beta_pows_dev = v.const_vec(beta_pows)
 
-    def bus_terms_host(t: TraceProver) -> np.ndarray:
-        if not t.dag.interactions:
-            return np.zeros((0, 4), dtype=U64)
-        return np.stack(
-            [
-                hext.escale(beta_pows[len(it.message)], (it.bus_index + 1) % P)
-                for it in t.dag.interactions
-            ]
+    def bus_terms_host(t: TraceProver):
+        """Per-interaction beta^len * (bus+1) terms as a DEVICE (k, 4) array."""
+        return v.const_vec(
+            v.stack(
+                [
+                    v.ext.escale(beta_pows[len(it.message)], (it.bus_index + 1) % P)
+                    for it in t.dag.interactions
+                ]
+            )
         )
 
     # ---- GKR input evaluation + fractional sumcheck -----------------------
@@ -201,7 +207,7 @@ def prove_zerocheck_and_logup(
             main_pairs = pairs[1:] if t.has_preprocessed() else pairs
             ev = DeviceEvaluator(sels, prep_pair, main_pairs, t.public_values, False)
             pq = interactions_pq_device(
-                t.dag, ev, beta_pows_dev, jf.const_arr(bus_terms_host(t))
+                t.dag, ev, beta_pows_dev, bus_terms_host(t)
             )
             for s_idx, (count, h_beta) in enumerate(pq):
                 counts_flat.append(count)
@@ -233,7 +239,7 @@ def prove_zerocheck_and_logup(
             [p_dev] + [jnp.zeros_like(p_dev)] * 3, axis=-1
         )  # embed base -> EF
         q_dev = jnp.take(denoms_dev, jnp.asarray(src), axis=0)
-        q_dev = jf.ext_add(q_dev, jf.ext_const(alpha))
+        q_dev = jf.ext_add(q_dev, v.ef_dev(alpha))
         with metrics.span("fractional_sumcheck"):
             frac = fractional_sumcheck(transcript, p_dev, q_dev, assert_zero=True)
     else:
@@ -248,32 +254,28 @@ def prove_zerocheck_and_logup(
     # ---- batching challenge, eq_3b weights --------------------------------
     lam = transcript.sample_ext()
     max_num_constraints = max(len(t.dag.constraint_idx) for t in traces)
-    lambda_pows = hext.epowers(lam, max(max_num_constraints, 1))
-    lambda_pows_dev = jf.const_arr(lambda_pows)
+    lambda_pows = v.ext.epowers(lam, max(max_num_constraints, 1))
+    lambda_pows_dev = v.const_vec(lambda_pows)
 
-    eq_3b_per_trace: List[np.ndarray] = []
+    eq_3b_per_trace: List = []
     for t_idx, t in enumerate(traces):
         if not t.dag.interactions:
-            eq_3b_per_trace.append(np.zeros((0, 4), dtype=U64))
+            eq_3b_per_trace.append(v.stack([]))
             continue
         n_lift = t.n_lift
         rows = []
         for i in range(len(t.dag.interactions)):
             sl = inter_layout.get(t_idx, i)
             b_int = sl.row_idx >> (l_skip + n_lift)
-            bits = np.stack(
+            bits = v.stack(
                 [
-                    hext.from_base((b_int >> j) & 1)
+                    v.ext.from_base((b_int >> j) & 1)
                     for j in range(n_logup - n_lift)
                 ]
-            ) if n_logup > n_lift else np.zeros((0, 4), dtype=U64)
-            xi_seg = (
-                np.stack(xi[l_skip + n_lift : l_skip + n_logup])
-                if n_logup > n_lift
-                else np.zeros((0, 4), dtype=U64)
             )
-            rows.append(hpoly.eval_eq_mle(xi_seg, bits))
-        eq_3b_per_trace.append(np.stack(rows))
+            xi_seg = v.stack(xi[l_skip + n_lift : l_skip + n_logup])
+            rows.append(v.poly.eval_eq_mle(xi_seg, bits))
+        eq_3b_per_trace.append(v.stack(rows))
 
     # ---- selectors + per-trace part pairs (base, unfolded) ----------------
     for t in traces:
@@ -310,37 +312,35 @@ def prove_zerocheck_and_logup(
         num_zc_cosets = d_air - 1
         sp0_deg_air = sumcheck_round0_deg(l_skip, d_air)
         if num_zc_cosets == 0:
-            sp0_zc.append(np.zeros((sp0_deg_air + 1, 4), dtype=U64))
+            sp0_zc.append(v.stack([ZERO] * (sp0_deg_air + 1)))
         else:
             shifts, sels_grid, prep_pair, main_pairs = coset_grids(num_zc_cosets)
             ev = DeviceEvaluator(sels_grid, prep_pair, main_pairs, t.public_values, False)
             acc = acc_constraints_device(t.dag, ev, lambda_pows_dev)
             # weight by eq(xi, x) over chunks and sum
             weighted = jf.ext_mul(acc, eq_tab[:, None, :])
-            sums = jf.ext_to_host(jf.ext_sum(weighted, axis=0))  # (B_z, 4)
+            sums = v.ef(jf.ext_sum(weighted, axis=0))  # (B_z, 4)
             # divide by zerofier (z^{2^l} - 1): depends only on the coset
             zf = []
             for c, sh in enumerate(shifts):
                 zf_val = (pow(sh, 1 << l_skip, P) - 1) % P
                 zf.extend([zf_val] * (1 << l_skip))
             zf_inv = batch_inverse(np.array(zf, dtype=np.uint64))
-            q_evals = hext.escale(sums, zf_inv)
-            grid = q_evals.reshape(num_zc_cosets, 1 << l_skip, 4).transpose(1, 0, 2)
-            q_coeffs = hpoly.from_geometric_cosets_evals(grid, g, g)
-            coeffs = np.zeros((sp0_deg_air + 1, 4), dtype=U64)
+            q_evals = v.ext.escale(sums, zf_inv)
+            grid = jnp_transpose(v, q_evals, num_zc_cosets, l_skip)
+            q_coeffs = v.poly.from_geometric_cosets_evals(grid, g, g)
+            coeffs = []
             nq = q_coeffs.shape[0]
             for i in range(sp0_deg_air + 1):
-                c = hext.eneg(q_coeffs[i]) if i < nq else ZERO
+                c = v.ext.eneg(q_coeffs[i]) if i < nq else ZERO
                 if i >= (1 << l_skip) and i - (1 << l_skip) < nq:
-                    c = hext.eadd(c, q_coeffs[i - (1 << l_skip)])
-                coeffs[i] = c
-            sp0_zc.append(coeffs)
+                    c = v.ext.eadd(c, q_coeffs[i - (1 << l_skip)])
+                coeffs.append(c)
+            sp0_zc.append(v.stack(coeffs))
 
         # logup: d_air cosets, interpolate numer/denom directly
         if not t.dag.interactions:
-            sp0_logup.append(
-                (np.zeros((0, 4), dtype=U64), np.zeros((0, 4), dtype=U64))
-            )
+            sp0_logup.append((v.stack([]), v.stack([])))
         else:
             shifts, sels_grid, prep_pair, main_pairs = coset_grids(d_air)
             ev = DeviceEvaluator(sels_grid, prep_pair, main_pairs, t.public_values, False)
@@ -348,21 +348,19 @@ def prove_zerocheck_and_logup(
                 t.dag,
                 ev,
                 beta_pows_dev,
-                jf.const_arr(bus_terms_host(t)),
-                jf.const_arr(eq_3b_per_trace[t_idx]),
+                bus_terms_host(t),
+                v.const_vec(eq_3b_per_trace[t_idx]),
             )
             numer = jf.ext_mul(numer, eq_tab[:, None, :])
             denom = jf.ext_mul(denom, eq_tab[:, None, :])
-            n_sum = jf.ext_to_host(jf.ext_sum(numer, axis=0))
-            d_sum = jf.ext_to_host(jf.ext_sum(denom, axis=0))
-            grid_n = n_sum.reshape(d_air, 1 << l_skip, 4).transpose(1, 0, 2)
-            grid_d = d_sum.reshape(d_air, 1 << l_skip, 4).transpose(1, 0, 2)
-            numer_coeffs = hpoly.from_geometric_cosets_evals(grid_n, g, g)
-            denom_coeffs = hpoly.from_geometric_cosets_evals(grid_d, g, g)
+            n_sum = v.ef(jf.ext_sum(numer, axis=0))
+            d_sum = v.ef(jf.ext_sum(denom, axis=0))
+            grid_n = jnp_transpose(v, n_sum, d_air, l_skip)
+            grid_d = jnp_transpose(v, d_sum, d_air, l_skip)
+            numer_coeffs = v.poly.from_geometric_cosets_evals(grid_n, g, g)
+            denom_coeffs = v.poly.from_geometric_cosets_evals(grid_d, g, g)
             norm = pow(1 << max(0, -t.n), P - 2, P)
-            numer_coeffs = hext.escale(
-                numer_coeffs, np.full(numer_coeffs.shape[0], norm, dtype=U64)
-            )
+            numer_coeffs = v.ext.escale(numer_coeffs, norm)
             sp0_logup.append((numer_coeffs, denom_coeffs))
 
     # ---- assemble s_0, observe sum claims ----------------------------------
@@ -371,22 +369,20 @@ def prove_zerocheck_and_logup(
     s0_deg = sumcheck_round0_deg(l_skip, s_deg)
     big = 1 << (s0_deg + 1 - 1).bit_length() if s0_deg > 0 else 1
 
-    def pad(coeffs: np.ndarray, size: int) -> np.ndarray:
-        out = np.zeros((size, 4), dtype=U64)
+    def pad(coeffs, size: int):
         k = min(coeffs.shape[0], sp0_deg + 1, size)
-        out[:k] = coeffs[:k]
-        return out
+        return v.stack([coeffs[i] for i in range(k)] + [ZERO] * (size - k))
 
-    eq_sharp_coeffs = hpoly.eq_sharp_uni_poly(np.stack(xi[:l_skip]))
-    eq_sharp_evals = hpoly.dft_ef(pad_to(eq_sharp_coeffs, big))
+    eq_sharp_coeffs = v.poly.eq_sharp_uni_poly(v.stack(xi[:l_skip]))
+    eq_sharp_evals = v.poly.dft_ef(pad(eq_sharp_coeffs, big))
 
-    s0_logup_polys: List[np.ndarray] = []  # 2*num_traces coeff arrays (big, 4)
+    s0_logup_polys: List = []  # 2*num_traces coeff arrays (big, 4)
     for t_idx in range(num_traces):
         for which in range(2):
             sp = pad(sp0_logup[t_idx][which], big)
-            evals = hpoly.dft_ef(sp)
-            prod = hext.emul(evals, eq_sharp_evals)
-            s0_logup_polys.append(hpoly.idft_ef(prod))
+            evals = v.poly.dft_ef(sp)
+            prod = v.ext.emul(evals, eq_sharp_evals)
+            s0_logup_polys.append(v.poly.idft_ef(prod))
 
     numerator_term_per_air = []
     denominator_term_per_air = []
@@ -395,8 +391,8 @@ def prove_zerocheck_and_logup(
             coeffs = s0_logup_polys[2 * t_idx + which]
             acc = ZERO
             for j in range(0, s0_deg + 1, 1 << l_skip):
-                acc = hext.eadd(acc, coeffs[j])
-            claim = hext.escale(acc, 1 << l_skip)
+                acc = v.ext.eadd(acc, coeffs[j])
+            claim = v.ext.escale(acc, 1 << l_skip)
             if which == 0:
                 numerator_term_per_air.append(claim)
             else:
@@ -404,40 +400,40 @@ def prove_zerocheck_and_logup(
             transcript.observe_ext(claim)
 
     mu = transcript.sample_ext()
-    mu_pows = hext.epowers(mu, 3 * num_traces)
+    mu_pows = v.ext.epowers(mu, 3 * num_traces)
 
-    eq_uni_coeffs = hpoly.eq_uni_poly(l_skip, xi[0])
-    eq_uni_evals = hpoly.dft_ef(pad_to(eq_uni_coeffs, big))
-    zc_batch = np.zeros((big, 4), dtype=U64)
+    eq_uni_coeffs = v.poly.eq_uni_poly(l_skip, xi[0])
+    eq_uni_evals = v.poly.dft_ef(pad(eq_uni_coeffs, big))
+    zc_batch = None
     for t_idx in range(num_traces):
         sp = pad(sp0_zc[t_idx], big)
-        zc_batch = hext.eadd(
-            zc_batch, hext.emul(sp, np.broadcast_to(mu_pows[2 * num_traces + t_idx], (big, 4)))
-        )
-    zc_evals = hext.emul(hpoly.dft_ef(zc_batch), eq_uni_evals)
-    s0_zc_poly = hpoly.idft_ef(zc_evals)
+        term = v.ext.emul(sp, mu_pows[2 * num_traces + t_idx])
+        zc_batch = term if zc_batch is None else v.ext.eadd(zc_batch, term)
+    zc_evals = v.ext.emul(v.poly.dft_ef(zc_batch), eq_uni_evals)
+    s0_zc_poly = v.poly.idft_ef(zc_evals)
 
-    s0_coeffs = np.zeros((s0_deg + 1, 4), dtype=U64)
+    s0_coeffs = []
     for j in range(s0_deg + 1):
         c = s0_zc_poly[j]
         for t_idx in range(num_traces):
-            c = hext.eadd(
-                c, hext.emul(mu_pows[2 * t_idx], s0_logup_polys[2 * t_idx][j])
+            c = v.ext.eadd(
+                c, v.ext.emul(mu_pows[2 * t_idx], s0_logup_polys[2 * t_idx][j])
             )
-            c = hext.eadd(
+            c = v.ext.eadd(
                 c,
-                hext.emul(mu_pows[2 * t_idx + 1], s0_logup_polys[2 * t_idx + 1][j]),
+                v.ext.emul(mu_pows[2 * t_idx + 1], s0_logup_polys[2 * t_idx + 1][j]),
             )
-        s0_coeffs[j] = c
+        s0_coeffs.append(c)
         transcript.observe_ext(c)
+    s0_coeffs = v.stack(s0_coeffs)
 
-    r: List[np.ndarray] = []
+    r: List = []
     r0 = transcript.sample_ext()
     r.append(r0)
-    prev_s_eval = hpoly.horner_eval(s0_coeffs, r0)
+    prev_s_eval = v.poly.horner_eval(s0_coeffs, r0)
 
     # ---- fold PLEs at r_0 ---------------------------------------------------
-    weights = jf.const_arr(barycentric_weights_host(l_skip, r0))
+    weights = barycentric_weights_dev(l_skip, r0)
     for t in traces:
         pairs = []
         for m in t.base_parts():
@@ -448,9 +444,9 @@ def prove_zerocheck_and_logup(
         t.main_pairs = pairs[1:] if t.has_preprocessed() else pairs
         t.sels = fold_ple(selectors_matrix(t.height, l_skip), l_skip, False, weights)
 
-    pv.eq_ns.append(hpoly.eval_eq_uni(l_skip, xi[0], r0))
+    pv.eq_ns.append(v.poly.eval_eq_uni(l_skip, xi[0], r0))
     pv.eq_sharp_ns.append(
-        hpoly.eval_eq_sharp_uni(l_skip, np.stack(xi[:l_skip]), r0)
+        v.poly.eval_eq_sharp_uni(l_skip, v.stack(xi[:l_skip]), r0)
     )
 
     # ---- multilinear rounds -------------------------------------------------
@@ -470,12 +466,12 @@ def prove_zerocheck_and_logup(
             if rnd > n_lift:
                 if rnd == n_lift + 1:
                     # pull folded single-point values to host, evaluate tail
-                    sels_h = jf.ext_to_host(t.sels[:, 0])
+                    sels_h = v.ef(t.sels[:, 0])
                     parts_cols = []
                     all_pairs = ([t.prep_pair] if t.prep_pair else []) + t.main_pairs
                     for local, nxt in all_pairs:
-                        lh = jf.ext_to_host(local[:, 0])
-                        nh = jf.ext_to_host(nxt[:, 0]) if nxt is not None else None
+                        lh = v.ef(local[:, 0])
+                        nh = v.ef(nxt[:, 0]) if nxt is not None else None
                         parts_cols.append(
                             [
                                 (lh[c], nh[c] if nh is not None else None)
@@ -492,7 +488,7 @@ def prove_zerocheck_and_logup(
                         main_cols,
                         t.public_values,
                     )
-                    t.zerocheck_tilde = hext.emul(
+                    t.zerocheck_tilde = v.ext.emul(
                         eq_r_acc,
                         acc_constraints_host(t.dag, hev, lambda_pows),
                     )
@@ -502,14 +498,14 @@ def prove_zerocheck_and_logup(
                         )
                         norm = pow(1 << max(0, -t.n), P - 2, P)
                         t.logup_tilde = [
-                            hext.escale(hext.emul(eq_sharp_r_acc, numer), norm),
-                            hext.emul(eq_sharp_r_acc, denom),
+                            v.ext.escale(v.ext.emul(eq_sharp_r_acc, numer), norm),
+                            v.ext.emul(eq_sharp_r_acc, denom),
                         ]
                 else:
-                    t.zerocheck_tilde = hext.emul(t.zerocheck_tilde, r_prev)
+                    t.zerocheck_tilde = v.ext.emul(t.zerocheck_tilde, r_prev)
                     if has_int:
                         t.logup_tilde = [
-                            hext.emul(v, r_prev) for v in t.logup_tilde
+                            v.ext.emul(x, r_prev) for x in t.logup_tilde
                         ]
                 sp_zc_evals.append([t.zerocheck_tilde])
                 if has_int:
@@ -520,9 +516,9 @@ def prove_zerocheck_and_logup(
                     sp_logup_evals.append([ZERO] * d_global)
             else:
                 eq_tab = pv.eq_table(l_skip + rnd, l_skip + n_lift)
-                zc_at: List[np.ndarray] = []
-                nm_at: List[np.ndarray] = []
-                dn_at: List[np.ndarray] = []
+                zc_at: List = []
+                nm_at: List = []
+                dn_at: List = []
                 for x in range(1, d_global + 1):
                     sels_x = interp_mle_at_int(t.sels, x)
                     all_pairs = ([t.prep_pair] if t.prep_pair else []) + t.main_pairs
@@ -538,30 +534,26 @@ def prove_zerocheck_and_logup(
                     ev = DeviceEvaluator(sels_x, prep_x, main_x, t.public_values, True)
                     acc = acc_constraints_device(t.dag, ev, lambda_pows_dev)
                     zc_val = jf.ext_sum(jf.ext_mul(acc, eq_tab), axis=0)
-                    zc_at.append(jf.ext_to_host(zc_val))
+                    zc_at.append(v.ef(zc_val))
                     if has_int:
                         numer, denom = acc_interactions_device(
                             t.dag,
                             ev,
                             beta_pows_dev,
-                            jf.const_arr(bus_terms_host(t)),
-                            jf.const_arr(eq_3b_per_trace[t_idx]),
+                            bus_terms_host(t),
+                            v.const_vec(eq_3b_per_trace[t_idx]),
                         )
                         nm_at.append(
-                            jf.ext_to_host(
-                                jf.ext_sum(jf.ext_mul(numer, eq_tab), axis=0)
-                            )
+                            v.ef(jf.ext_sum(jf.ext_mul(numer, eq_tab), axis=0))
                         )
                         dn_at.append(
-                            jf.ext_to_host(
-                                jf.ext_sum(jf.ext_mul(denom, eq_tab), axis=0)
-                            )
+                            v.ef(jf.ext_sum(jf.ext_mul(denom, eq_tab), axis=0))
                         )
                 sp_zc_evals.append(zc_at)
                 if has_int:
                     norm = pow(1 << max(0, -t.n), P - 2, P)
                     sp_logup_evals.append(
-                        [hext.escale(v, norm) for v in nm_at]
+                        [v.ext.escale(x, norm) for x in nm_at]
                     )
                     sp_logup_evals.append(dn_at)
                 else:
@@ -583,62 +575,62 @@ def prove_zerocheck_and_logup(
             dn_i = nm_i + 1
             if t_idx < tail_start:
                 for i in range(d_global):
-                    sp_head_zc[i] = hext.eadd(
+                    sp_head_zc[i] = v.ext.eadd(
                         sp_head_zc[i],
-                        hext.emul(mu_pows[zc_i], sp_zc_evals[t_idx][i]),
+                        v.ext.emul(mu_pows[zc_i], sp_zc_evals[t_idx][i]),
                     )
-                    sp_head_logup[i] = hext.eadd(
+                    sp_head_logup[i] = v.ext.eadd(
                         sp_head_logup[i],
-                        hext.eadd(
-                            hext.emul(mu_pows[nm_i], sp_logup_evals[nm_i][i]),
-                            hext.emul(mu_pows[dn_i], sp_logup_evals[dn_i][i]),
+                        v.ext.eadd(
+                            v.ext.emul(mu_pows[nm_i], sp_logup_evals[nm_i][i]),
+                            v.ext.emul(mu_pows[dn_i], sp_logup_evals[dn_i][i]),
                         ),
                     )
             else:
-                sp_tail = hext.eadd(
+                sp_tail = v.ext.eadd(
                     sp_tail,
-                    hext.eadd(
-                        hext.emul(mu_pows[zc_i], sp_zc_evals[t_idx][0]),
-                        hext.eadd(
-                            hext.emul(mu_pows[nm_i], sp_logup_evals[nm_i][0]),
-                            hext.emul(mu_pows[dn_i], sp_logup_evals[dn_i][0]),
+                    v.ext.eadd(
+                        v.ext.emul(mu_pows[zc_i], sp_zc_evals[t_idx][0]),
+                        v.ext.eadd(
+                            v.ext.emul(mu_pows[nm_i], sp_logup_evals[nm_i][0]),
+                            v.ext.emul(mu_pows[dn_i], sp_logup_evals[dn_i][0]),
                         ),
                     ),
                 )
 
         sp_head_evals = [ZERO] * s_deg
         for i in range(d_global):
-            sp_head_evals[i + 1] = hext.eadd(
-                hext.emul(pv.eq_ns[rnd - 1], sp_head_zc[i]),
-                hext.emul(pv.eq_sharp_ns[rnd - 1], sp_head_logup[i]),
+            sp_head_evals[i + 1] = v.ext.eadd(
+                v.ext.emul(pv.eq_ns[rnd - 1], sp_head_zc[i]),
+                v.ext.emul(pv.eq_sharp_ns[rnd - 1], sp_head_logup[i]),
             )
         xi_cur = xi[l_skip + rnd - 1]
-        eq_xi_0 = hext.esub(hext.eone(), xi_cur)
+        eq_xi_0 = v.ext.esub(v.ext.eone(), xi_cur)
         eq_xi_1 = xi_cur
-        sp_head_evals[0] = hext.emul(
-            hext.esub(
-                hext.esub(prev_s_eval, hext.emul(eq_xi_1, sp_head_evals[1])),
+        sp_head_evals[0] = v.ext.emul(
+            v.ext.esub(
+                v.ext.esub(prev_s_eval, v.ext.emul(eq_xi_1, sp_head_evals[1])),
                 sp_tail,
             ),
-            hext.einv(eq_xi_0),
+            v.ext.einv(eq_xi_0),
         )
-        sp_head_coeffs = hpoly.lagrange_coeffs(
-            list(range(s_deg)), np.stack(sp_head_evals)
+        sp_head_coeffs = v.poly.lagrange_coeffs(
+            list(range(s_deg)), v.stack(sp_head_evals)
         )
         # batch_s(X) = eq(xi, X) * sp_head(X) + sp_tail * X
-        coeffs = np.concatenate(
-            [sp_head_coeffs, np.zeros((1, 4), dtype=U64)], axis=0
-        )
-        b_c = hext.esub(hext.eone(), xi_cur)
-        a_c = hext.esub(xi_cur, b_c)
+        coeffs = [sp_head_coeffs[i] for i in range(s_deg)] + [ZERO]
+        b_c = v.ext.esub(v.ext.eone(), xi_cur)
+        a_c = v.ext.esub(xi_cur, b_c)
         for i in range(s_deg - 1, -1, -1):
-            coeffs[i + 1] = hext.eadd(
-                hext.emul(a_c, coeffs[i]), hext.emul(b_c, coeffs[i + 1])
+            coeffs[i + 1] = v.ext.eadd(
+                v.ext.emul(a_c, coeffs[i]), v.ext.emul(b_c, coeffs[i + 1])
             )
-        coeffs[0] = hext.emul(coeffs[0], b_c)
-        coeffs[1] = hext.eadd(coeffs[1], sp_tail)
+        coeffs[0] = v.ext.emul(coeffs[0], b_c)
+        coeffs[1] = v.ext.eadd(coeffs[1], sp_tail)
+        coeffs = v.stack(coeffs)
         batch_evals = [
-            hpoly.horner_eval(coeffs, hext.from_base(i)) for i in range(1, s_deg + 1)
+            v.poly.horner_eval(coeffs, v.ext.from_base(i))
+            for i in range(1, s_deg + 1)
         ]
         for e in batch_evals:
             transcript.observe_ext(e)
@@ -646,10 +638,10 @@ def prove_zerocheck_and_logup(
 
         r_rnd = transcript.sample_ext()
         r.append(r_rnd)
-        prev_s_eval = hpoly.horner_eval(coeffs, r_rnd)
+        prev_s_eval = v.poly.horner_eval(coeffs, r_rnd)
 
         # fold device matrices and update eq accumulators
-        r_dev = jf.ext_const(r_rnd)
+        r_dev = v.ef_dev(r_rnd)
         for t in traces:
             if t.sels.shape[1] > 1:
                 t.sels = fold_mle(t.sels, r_dev)
@@ -660,11 +652,11 @@ def prove_zerocheck_and_logup(
                 if t.prep_pair is not None:
                     t.prep_pair = fold_pair(t.prep_pair)
                 t.main_pairs = [fold_pair(p) for p in t.main_pairs]
-        eq_mle = hpoly.eval_eq_mle(
+        eq_mle = v.poly.eval_eq_mle(
             xi_cur.reshape(1, 4), r_rnd.reshape(1, 4)
         )
-        pv.eq_ns.append(hext.emul(pv.eq_ns[rnd - 1], eq_mle))
-        pv.eq_sharp_ns.append(hext.emul(pv.eq_sharp_ns[rnd - 1], eq_mle))
+        pv.eq_ns.append(v.ext.emul(pv.eq_ns[rnd - 1], eq_mle))
+        pv.eq_sharp_ns.append(v.ext.emul(pv.eq_sharp_ns[rnd - 1], eq_mle))
 
     # ---- column openings ----------------------------------------------------
     column_openings: List[List[List[np.ndarray]]] = []
@@ -672,9 +664,9 @@ def prove_zerocheck_and_logup(
         all_pairs = ([t.prep_pair] if t.prep_pair else []) + t.main_pairs
         part_openings = []
         for local, nxt in all_pairs:
-            lh = jf.ext_to_host(local[:, 0])  # (w, 4)
+            lh = v.ef(local[:, 0])  # (w, 4)
             if t.needs_next:
-                nh = jf.ext_to_host(nxt[:, 0])
+                nh = v.ef(nxt[:, 0])
                 flat = []
                 for c in range(lh.shape[0]):
                     flat.extend([lh[c], nh[c]])

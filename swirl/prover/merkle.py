@@ -56,19 +56,26 @@ class MerkleTree:
     def batch_query_proofs(self, indices) -> List[List[np.ndarray]]:
         """Merkle paths for many query indices; one gather+transfer per layer.
 
-        Returns proofs[qi][level] = sibling digest (8,) canonical uint64.
+        Returns proofs[qi][level] = sibling digest (8,): canonical uint64 in
+        host mode, traced Monty in the fused prover's trace mode (indices
+        are then traced scalars).
         """
-        idx = np.asarray(indices, dtype=np.int64)
-        assert np.all((0 <= idx) & (idx < self.query_stride))
+        from .vmode import vm
+
+        v = vm()
+        if v.is_trace:
+            cur = jnp.stack([jnp.asarray(i, jnp.uint32) for i in indices])
+        else:
+            cur = np.asarray(indices, dtype=np.int64)
+            assert np.all((0 <= cur) & (cur < self.query_stride))
         per_level = []
-        cur = idx.copy()
         for layer in self.layers[:-1]:
             sib = jnp.take(layer, jnp.asarray(cur ^ 1), axis=1)  # (8, nq)
-            per_level.append(jf.to_host(sib).T)  # (nq, 8)
-            cur >>= 1
+            per_level.append(v.f(sib).T)  # (nq, 8)
+            cur = cur >> 1
         return [
             [per_level[lvl][qi] for lvl in range(len(per_level))]
-            for qi in range(len(idx))
+            for qi in range(len(indices))
         ]
 
     def query_proof(self, index: int) -> List[np.ndarray]:
@@ -113,14 +120,18 @@ def build_merkle_tree(matrix, rows_per_query: int, ext: bool = False) -> MerkleT
     return MerkleTree(layers=layers, rows_per_query=rows_per_query)
 
 
-def get_opened_rows(matrix, index: int, rows_per_query: int, ext: bool) -> np.ndarray:
+def get_opened_rows(matrix, index, rows_per_query: int, ext: bool):
     """Rows {index + t*query_stride : t in 0..rows_per_query} of the backing
-    matrix, as canonical host array (rows_per_query, width[, 4])."""
+    matrix as (rows_per_query, width[, 4]) — canonical host array in host
+    mode, traced Monty in trace mode (index then a traced scalar)."""
+    from .vmode import vm
+
+    v = vm()
     height = matrix.shape[1]
     query_stride = height // rows_per_query
     row_ids = index + query_stride * np.arange(rows_per_query)
     gathered = jnp.take(matrix, jnp.asarray(row_ids), axis=1)
-    host = jf.to_host(gathered)  # (width, rpq[, 4])
+    host = v.f(gathered)  # (width, rpq[, 4])
     if ext:
-        return np.transpose(host, (1, 0, 2))
-    return np.transpose(host, (1, 0))
+        return host.transpose(1, 0, 2)
+    return host.transpose(1, 0)

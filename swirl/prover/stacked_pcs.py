@@ -188,8 +188,10 @@ def stacked_commit(
     traces: Sequence[jnp.ndarray],
 ) -> Tuple[np.ndarray, StackedPcsData]:
     """Commit to a height-sorted collection of traces; returns (root, data)."""
+    from .vmode import vm
+
     stacked, layout = stack_traces(l_skip, n_stack, traces)
     rs = rs_code_matrix(l_skip, log_blowup, stacked)
     tree = build_merkle_tree(rs, 1 << k_whir)
     data = StackedPcsData(layout=layout, matrix=stacked, rs_matrix=rs, tree=tree)
-    return tree.root, data
+    return vm().f(tree.layers[-1][:, 0]), data

@@ -25,12 +25,13 @@ from ..transcript import Transcript
 from .. import poly as hpoly
 from .stacked_pcs import StackedPcsData, StackedSlice
 from .sumcheck import (
-    barycentric_weights_host,
+    barycentric_weights_dev,
     coset_eval_chunks,
     eq_hypercube_dev,
     fold_mle,
     fold_mle_vec,
 )
+from .vmode import vm
 
 
 @dataclass
@@ -48,6 +49,7 @@ def prove_stacked_opening_reduction(
     need_rot_per_commit: List[List[bool]],
     r: List[np.ndarray],
 ) -> Tuple[StackingProof, List[np.ndarray]]:
+    v = vm()
     l_skip = params.l_skip
     n_stack = params.n_stack
     omega_skip = two_adic_generator(l_skip)
@@ -62,7 +64,7 @@ def prove_stacked_opening_reduction(
             rot_idx = lam_idx + 1 if need_rot[mat_idx] else None
             trace_views.append(TraceView(com_idx, sl, lam_idx, rot_idx))
             lam_idx += 2
-    lambda_pows = hext.epowers(lam, lam_idx if lam_idx else 1)
+    lambda_pows = v.ext.epowers(lam, lam_idx if lam_idx else 1)
 
     # group consecutive views by log_height
     groups: List[Tuple[int, int]] = []
@@ -76,8 +78,8 @@ def prove_stacked_opening_reduction(
             start = i
 
     r0 = r[0]
-    eq_const = hpoly.eval_eq_uni_at_one(
-        l_skip, hext.escale(r0, omega_skip)
+    eq_const = v.poly.eval_eq_uni_at_one(
+        l_skip, v.ext.escale(r0, omega_skip)
     )
 
     # eq(r[1..1+n_lift], -) tables per log-height (device)
@@ -86,25 +88,21 @@ def prove_stacked_opening_reduction(
         lht = tv.slice.log_height
         if lht not in eq_r_per_lht:
             n_lift = max(lht - l_skip, 0)
-            vec = (
-                np.stack(r[1 : 1 + n_lift])
-                if n_lift
-                else np.zeros((0, 4), dtype=U64)
-            )
+            vec = v.stack(r[1 : 1 + n_lift])
             eq_r_per_lht[lht] = eq_hypercube_dev(vec)
 
     # lambda weight arrays per group (device)
     def group_weights(s: int, e: int):
-        lam_eq = np.stack([lambda_pows[trace_views[i].lambda_eq_idx] for i in range(s, e)])
-        lam_rot = np.stack(
+        lam_eq = v.stack([lambda_pows[trace_views[i].lambda_eq_idx] for i in range(s, e)])
+        lam_rot = v.stack(
             [
                 lambda_pows[trace_views[i].lambda_rot_idx]
                 if trace_views[i].lambda_rot_idx is not None
-                else hext.ezero()
+                else v.ext.ezero()
                 for i in range(s, e)
             ]
         )
-        return jf.const_arr(lam_eq), jf.const_arr(lam_rot)
+        return v.const_vec(lam_eq), v.const_vec(lam_rot)
 
     # ---- univariate round 0 -------------------------------------------------
     g = GENERATOR
@@ -116,7 +114,7 @@ def prove_stacked_opening_reduction(
         for i in range(1 << l_skip):
             z_points.append(sh * int(w_pows[i]) % P)
 
-    total_evals = np.zeros((B_z, 4), dtype=U64)
+    total_evals = [v.ext.ezero() for _ in range(B_z)]
     for s, e in groups:
         lht = trace_views[s].slice.log_height
         n = lht - l_skip
@@ -140,31 +138,31 @@ def prove_stacked_opening_reduction(
         c_vec = reduce_zx(
             q_grid, lam_rot_dev, jf.ext_sub(krot_tab, eq_tab)
         )
-        a_h, b_h, c_h = (jf.ext_to_host(v) for v in (a_vec, b_vec, c_vec))
+        a_h, b_h, c_h = (v.ef(x) for x in (a_vec, b_vec, c_vec))
         # host z-dependent kernels
         if n < 0:
             l_eff = l_skip + n
             omega_eff = pow(omega_skip, 1 << (-n), P)
-            r_eff = hext.epow(r0, 1 << (-n))
+            r_eff = v.ext.epow(r0, 1 << (-n))
         else:
             l_eff, omega_eff, r_eff = l_skip, omega_skip, r0
         for zi, z in enumerate(z_points):
-            z_ef = hext.from_base(z)
-            ind = hpoly.eval_in_uni(l_skip, n, z_ef)
-            eq_uni_r0 = hpoly.eval_eq_uni(l_eff, z_ef, r_eff)
-            eq_uni_r0_rot = hpoly.eval_eq_uni(
-                l_eff, z_ef, hext.escale(r_eff, omega_eff)
+            z_ef = v.ext.from_base(z)
+            ind = v.poly.eval_in_uni(l_skip, n, z_ef)
+            eq_uni_r0 = v.poly.eval_eq_uni(l_eff, z_ef, r_eff)
+            eq_uni_r0_rot = v.poly.eval_eq_uni(
+                l_eff, z_ef, v.ext.escale(r_eff, omega_eff)
             )
-            eq_uni_1 = hpoly.eval_eq_uni_at_one(l_skip, z_ef)
-            term = hext.emul(eq_uni_r0, a_h[zi])
-            term = hext.eadd(term, hext.emul(eq_uni_r0_rot, b_h[zi]))
-            term = hext.eadd(
-                term, hext.emul(hext.emul(eq_const, eq_uni_1), c_h[zi])
+            eq_uni_1 = v.poly.eval_eq_uni_at_one(l_skip, z_ef)
+            term = v.ext.emul(eq_uni_r0, a_h[zi])
+            term = v.ext.eadd(term, v.ext.emul(eq_uni_r0_rot, b_h[zi]))
+            term = v.ext.eadd(
+                term, v.ext.emul(v.ext.emul(eq_const, eq_uni_1), c_h[zi])
             )
-            total_evals[zi] = hext.eadd(total_evals[zi], hext.emul(term, ind))
+            total_evals[zi] = v.ext.eadd(total_evals[zi], v.ext.emul(term, ind))
 
-    grid = total_evals.reshape(2, 1 << l_skip, 4).transpose(1, 0, 2)
-    s0_coeffs_full = hpoly.from_geometric_cosets_evals(grid, g, g)
+    grid = v.stack(total_evals).reshape(2, 1 << l_skip, 4).transpose(1, 0, 2)
+    s0_coeffs_full = v.poly.from_geometric_cosets_evals(grid, g, g)
     s0_deg = 2 * ((1 << l_skip) - 1)
     s0_coeffs = s0_coeffs_full[: s0_deg + 1]
     for c in s0_coeffs:
@@ -177,49 +175,49 @@ def prove_stacked_opening_reduction(
     # ---- fold at u_0 ----------------------------------------------------------
     from .sumcheck import fold_ple
 
-    weights = jf.const_arr(barycentric_weights_host(l_skip, u0))
+    weights = barycentric_weights_dev(l_skip, u0)
     q_evals = [
         fold_ple(d.matrix, l_skip, False, weights) for d in stacked_per_commit
     ]
 
-    eq_uni_u0r0 = hpoly.eval_eq_uni(l_skip, u0, r0)
-    eq_uni_u0r0_rot = hpoly.eval_eq_uni(
-        l_skip, u0, hext.escale(r0, omega_skip)
+    eq_uni_u0r0 = v.poly.eval_eq_uni(l_skip, u0, r0)
+    eq_uni_u0r0_rot = v.poly.eval_eq_uni(
+        l_skip, u0, v.ext.escale(r0, omega_skip)
     )
-    eq_uni_u01 = hpoly.eval_eq_uni_at_one(l_skip, u0)
+    eq_uni_u01 = v.poly.eval_eq_uni_at_one(l_skip, u0)
 
     k_rot_per_lht: Dict[int, jnp.ndarray] = {}
     for lht, tab in list(eq_r_per_lht.items()):
         n = lht - l_skip
         n_lift = max(n, 0)
-        ind = hpoly.eval_in_uni(l_skip, n, u0)
+        ind = v.poly.eval_in_uni(l_skip, n, u0)
         if n < 0:
             omega_eff = pow(omega_skip, 1 << (-n), P)
-            r_eff = hext.epow(r0, 1 << (-n))
+            r_eff = v.ext.epow(r0, 1 << (-n))
             l_eff = l_skip + n
-            eq_uni = hpoly.eval_eq_uni(l_eff, u0, r_eff)
-            eq_uni_rot = hpoly.eval_eq_uni(
-                l_eff, u0, hext.escale(r_eff, omega_eff)
+            eq_uni = v.poly.eval_eq_uni(l_eff, u0, r_eff)
+            eq_uni_rot = v.poly.eval_eq_uni(
+                l_eff, u0, v.ext.escale(r_eff, omega_eff)
             )
         else:
             eq_uni, eq_uni_rot = eq_uni_u0r0, eq_uni_u0r0_rot
         krot_gather = jnp.roll(tab, 1, axis=0)
-        c1 = jf.ext_const(hext.emul(ind, eq_uni_rot))
-        c2 = jf.ext_const(hext.emul(ind, hext.emul(eq_const, eq_uni_u01)))
+        c1 = v.ef_dev(v.ext.emul(ind, eq_uni_rot))
+        c2 = v.ef_dev(v.ext.emul(ind, v.ext.emul(eq_const, eq_uni_u01)))
         k_rot_per_lht[lht] = jf.ext_add(
             jf.ext_mul(c1, tab),
             jf.ext_mul(c2, jf.ext_sub(krot_gather, tab)),
         )
         eq_r_per_lht[lht] = jf.ext_mul(
-            jf.ext_const(hext.emul(ind, eq_uni)), tab
+            v.ef_dev(v.ext.emul(ind, eq_uni)), tab
         )
 
-    eq_ub = [hext.eone() for _ in trace_views]
+    eq_ub = [v.ext.eone() for _ in trace_views]
 
     # ---- rounds 1..n_stack ----------------------------------------------------
     sumcheck_round_polys: List[List[np.ndarray]] = []
     for rnd in range(1, n_stack + 1):
-        s_evals = [hext.ezero(), hext.ezero()]
+        s_evals = [v.ext.ezero(), v.ext.ezero()]
         for s, e in groups:
             lht = trace_views[s].slice.log_height
             n_lift = max(lht - l_skip, 0)
@@ -250,48 +248,48 @@ def prove_stacked_opening_reduction(
                     val = jf.ext_sum(
                         jf.ext_sum(jf.ext_mul(q_x, w), axis=1), axis=0
                     )
-                    s_evals[xi] = hext.eadd(s_evals[xi], jf.ext_to_host(val))
+                    s_evals[xi] = v.ext.eadd(s_evals[xi], v.ef(val))
             else:
-                eq0 = jf.ext_to_host(eq_tab[0])
-                krot0 = jf.ext_to_host(krot_tab[0])
+                eq0 = v.ef(eq_tab[0])
+                krot0 = v.ef(krot_tab[0])
                 for i in range(s, e):
                     tv = trace_views[i]
                     sl = tv.slice
                     row_start = (sl.row_idx >> (l_skip + rnd)) << 1
-                    q_pair = jf.ext_to_host(
+                    q_pair = v.ef(
                         jax_slice_ext(q_evals[tv.com_idx], sl.col_idx, row_start, 2)
                     )
                     b = (sl.row_idx >> (l_skip + rnd - 1)) & 1
                     for xi, x in enumerate((1, 2)):
-                        q_x = hext.eadd(
+                        q_x = v.ext.eadd(
                             q_pair[0],
-                            hext.escale(hext.esub(q_pair[1], q_pair[0]), x),
+                            v.ext.escale(v.ext.esub(q_pair[1], q_pair[0]), x),
                         )
-                        eqb = hpoly.eval_eq_mle(
-                            hext.from_base(x).reshape(1, 4),
-                            hext.from_base(b).reshape(1, 4),
+                        eqb = v.poly.eval_eq_mle(
+                            v.ext.from_base(x).reshape(1, 4),
+                            v.ext.from_base(b).reshape(1, 4),
                         )
-                        ub = hext.emul(eq_ub[i], eqb)
-                        acc = hext.emul(
+                        ub = v.ext.emul(eq_ub[i], eqb)
+                        acc = v.ext.emul(
                             lambda_pows[tv.lambda_eq_idx],
-                            hext.emul(q_x, hext.emul(eq0, ub)),
+                            v.ext.emul(q_x, v.ext.emul(eq0, ub)),
                         )
                         if tv.lambda_rot_idx is not None:
-                            acc = hext.eadd(
+                            acc = v.ext.eadd(
                                 acc,
-                                hext.emul(
+                                v.ext.emul(
                                     lambda_pows[tv.lambda_rot_idx],
-                                    hext.emul(q_x, hext.emul(krot0, ub)),
+                                    v.ext.emul(q_x, v.ext.emul(krot0, ub)),
                                 ),
                             )
-                        s_evals[xi] = hext.eadd(s_evals[xi], acc)
+                        s_evals[xi] = v.ext.eadd(s_evals[xi], acc)
 
         for ev in s_evals:
             transcript.observe_ext(ev)
         sumcheck_round_polys.append(list(s_evals))
         u_rnd = transcript.sample_ext()
         u.append(u_rnd)
-        u_dev = jf.ext_const(u_rnd)
+        u_dev = v.ef_dev(u_rnd)
         q_evals = [fold_mle(q, u_dev) for q in q_evals]
         eq_r_per_lht = {
             lht: fold_mle_vec(tab, u_dev) if tab.shape[0] > 1 else tab
@@ -305,16 +303,16 @@ def prove_stacked_opening_reduction(
             n_lift = max(tv.slice.log_height - l_skip, 0)
             if rnd > n_lift:
                 b = (tv.slice.row_idx >> (l_skip + rnd - 1)) & 1
-                eq_ub[i] = hext.emul(
+                eq_ub[i] = v.ext.emul(
                     eq_ub[i],
-                    hpoly.eval_eq_mle(
-                        u_rnd.reshape(1, 4), hext.from_base(b).reshape(1, 4)
+                    v.poly.eval_eq_mle(
+                        u_rnd.reshape(1, 4), v.ext.from_base(b).reshape(1, 4)
                     ),
                 )
 
     stacking_openings = []
     for q in q_evals:
-        host = jf.ext_to_host(q[:, 0])  # (W, 4)
+        host = v.ef(q[:, 0])  # (W, 4)
         opens = [host[c] for c in range(host.shape[0])]
         for c in opens:
             transcript.observe_ext(c)

@@ -49,6 +49,32 @@ def barycentric_weights_host(l_skip: int, r: np.ndarray) -> np.ndarray:
     return weights
 
 
+def barycentric_weights_dev(l_skip: int, r):
+    """Device Monty (2^l_skip, 4) barycentric weights; `r` is a value in the
+    current :mod:`swirl.prover.vmode` mode."""
+    from .vmode import vm
+
+    v = vm()
+    if not v.is_trace:
+        return v.const_vec(barycentric_weights_host(l_skip, r))
+    from ..fields import text
+
+    n = 1 << l_skip
+    omega = roots_of_unity(l_skip)
+    rn = text.epow(r, n)
+    pref = text.escale(text.esub(rn, text.eone()), pow(n, P - 2, P))
+    denoms = jnp.stack(
+        [text.esub(r, text.from_base(int(w))) for w in omega]
+    )
+    invs = text.batch_einv(denoms)
+    return jnp.stack(
+        [
+            text.escale(text.emul(pref, invs[i]), int(omega[i]))
+            for i in range(n)
+        ]
+    )
+
+
 def lift_mat(mat, l_skip: int):
     """Cyclically tile a (w, h[,4]) matrix to height >= 2^l_skip."""
     h = mat.shape[1]
@@ -134,13 +160,20 @@ def interp_mle_at_int_base(mat, x: int):
     return jf.add(t0, jf.mul(jf.sub(t1, t0), jf.const(x)))
 
 
-def eq_hypercube_dev(xi_host: np.ndarray):
-    """eq(xi, y) table over H_n on device: (2^n, 4) from host EF vector."""
-    xi = np.asarray(xi_host, U64).reshape(-1, 4)
-    out = jf.ext_const(hext.eone()).reshape(1, 4)
+def eq_hypercube_dev(xi_vec):
+    """eq(xi, y) table over H_n on device: (2^n, 4).
+
+    `xi_vec` is a (n, 4) EF vector in the current vmode (host canonical
+    numpy or traced Monty); the table is always device Monty.
+    """
+    from .vmode import vm
+
+    v = vm()
+    xi = xi_vec.reshape(-1, 4)
+    out = v.ef_dev(v.ext.eone()).reshape(1, 4)
     for i in range(xi.shape[0]):
-        x = jf.ext_const(xi[i])
-        one_minus = jf.ext_const(hext.esub(hext.eone(), xi[i]))
+        x = v.ef_dev(xi[i])
+        one_minus = v.ef_dev(v.ext.esub(v.ext.eone(), xi[i]))
         lo = jf.ext_mul(out, one_minus)
         hi = jf.ext_mul(out, x)
         # mask bit i is the *low* bit direction: interleave (lo_y, hi_y)?
@@ -150,45 +183,46 @@ def eq_hypercube_dev(xi_host: np.ndarray):
     return out
 
 
-def mobius_eq_hypercube_dev(u_host: np.ndarray):
+def mobius_eq_hypercube_dev(u_vec):
     """Möbius-adjusted eq table over H_n on device: weights (1-2u_i, u_i)."""
-    u = np.asarray(u_host, U64).reshape(-1, 4)
-    out = jf.ext_const(hext.eone()).reshape(1, 4)
-    one = hext.eone()
+    from .vmode import vm
+
+    v = vm()
+    u = u_vec.reshape(-1, 4)
+    out = v.ef_dev(v.ext.eone()).reshape(1, 4)
+    one = v.ext.eone()
     for i in range(u.shape[0]):
-        w0 = jf.ext_const(hext.esub(one, hext.eadd(u[i], u[i])))
-        w1 = jf.ext_const(u[i])
+        w0 = v.ef_dev(v.ext.esub(one, v.ext.eadd(u[i], u[i])))
+        w1 = v.ef_dev(u[i])
         lo = jf.ext_mul(out, w0)
         hi = jf.ext_mul(out, w1)
         out = jnp.concatenate([lo, hi], axis=0)
     return out
 
 
-def eq_pows_hypercube_dev(z_host: np.ndarray, n: int, base_field: bool):
+def eq_pows_hypercube_dev(z, n: int, base_field: bool):
     """eq(pow(z), y) table where pow(z) = (z, z^2, z^4, ...): (2^n, 4).
 
     Equivalently eq table at the vector of repeated squarings of z.
+    `z` is a value in the current vmode (base-field or EF per the flag).
     """
+    from .vmode import vm
+
+    v = vm()
     if base_field:
-        z = int(z_host) % P
-        pows = []
-        cur = z
-        for _ in range(n):
-            pows.append(hext.from_base(cur))
-            cur = cur * cur % P
-        vec = np.stack(pows) if n else np.zeros((0, 4), dtype=U64)
+        if isinstance(z, (int, np.integer)):
+            zv = v.ext.from_base(int(z) % P)
+        else:
+            zv = v.ext.from_base(z)
     else:
-        vec = np.stack(
-            [x for x in _ext_pows_of_2(np.asarray(z_host, U64), n)]
-        ) if n else np.zeros((0, 4), dtype=U64)
-    return eq_hypercube_dev(vec)
-
-
-def _ext_pows_of_2(z: np.ndarray, n: int):
-    cur = z
+        zv = z
+    pows = []
+    cur = zv
     for _ in range(n):
-        yield cur
-        cur = hext.emul(cur, cur)
+        pows.append(cur)
+        cur = v.ext.emul(cur, cur)
+    vec = v.stack(pows)
+    return eq_hypercube_dev(vec)
 
 
 def coset_eval_chunks(mat, l_skip: int, coset_shifts: Sequence[int], is_rot: bool):

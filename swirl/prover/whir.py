@@ -24,20 +24,20 @@ from .merkle import build_merkle_tree, get_opened_rows
 from .ntt import mobius_transform, ntt, zeta_transform
 from .stacked_pcs import StackedPcsData, rs_message
 from .sumcheck import eq_pows_hypercube_dev, fold_mle_vec, mobius_eq_hypercube_dev
+from .vmode import vm
 
 
-def _pow_table(z_host: np.ndarray, m: int, base_field: bool):
+def _pow_table(z, m: int, base_field: bool):
     """Device table T[S] = z^S for S < 2^m (via the eq-table doubling with
     factors (1, z^{2^i}))."""
-    # eq table at pow(z) with weights (1, z^{2^i}): reuse eq with x_i = ...
-    # simpler: iterative doubling directly
-    out = jf.ext_const(hext.eone()).reshape(1, 4)
-    cur = hext.from_base(int(z_host)) if base_field else np.asarray(z_host, U64)
+    v = vm()
+    out = v.ef_dev(v.ext.eone()).reshape(1, 4)
+    cur = v.ext.from_base(z) if base_field else z
     for _ in range(m):
-        c = jf.ext_const(cur)
+        c = v.ef_dev(cur)
         hi = jf.ext_mul(out, c)
         out = jnp.concatenate([out, hi], axis=0)
-        cur = hext.emul(cur, cur)
+        cur = v.ext.emul(cur, cur)
     return out
 
 
@@ -47,6 +47,7 @@ def prove_whir_opening(
     committed: Sequence[StackedPcsData],
     u: List[np.ndarray],
 ) -> WhirProof:
+    v = vm()
     whir = params.whir
     l_skip = params.l_skip
     log_blowup = params.log_blowup
@@ -56,7 +57,7 @@ def prove_whir_opening(
     mu_pow_witness = transcript.grind(whir.mu_pow_bits)
     mu = transcript.sample_ext()
     total_width = sum(int(d.matrix.shape[0]) for d in committed)
-    mu_pows = hext.epowers(mu, total_width)
+    mu_pows = v.ext.epowers(mu, total_width)
 
     m = int(committed[0].matrix.shape[1]).bit_length() - 1
     log_rs = m + log_blowup
@@ -68,11 +69,11 @@ def prove_whir_opening(
         w = int(d.matrix.shape[0])
         msg = rs_message(l_skip, d.matrix)
         hatf = zeta_transform(msg, m)  # (w, 2^m) base
-        mu_dev = jf.const_arr(mu_pows[off : off + w])  # (w, 4)
+        mu_dev = v.const_vec(mu_pows[off : off + w])  # (w, 4)
         contrib = jf.ext_sum(jf.mul(hatf[:, :, None], mu_dev[:, None, :]), axis=0)
         f_evals = contrib if f_evals is None else jf.ext_add(f_evals, contrib)
         off += w
-    w_evals = mobius_eq_hypercube_dev(np.stack(u))  # (2^m, 4)
+    w_evals = mobius_eq_hypercube_dev(v.stack(u))  # (2^m, 4)
 
     whir_sumcheck_polys: List[List[np.ndarray]] = []
     codeword_commits: List[np.ndarray] = []
@@ -99,14 +100,14 @@ def prove_whir_opening(
                 fx = _interp_vec(f_evals, x)
                 wx = _interp_vec(w_evals, x)
                 evals.append(
-                    jf.ext_to_host(jf.ext_sum(jf.ext_mul(fx, wx), axis=0))
+                    v.ef(jf.ext_sum(jf.ext_mul(fx, wx), axis=0))
                 )
             for e in evals:
                 transcript.observe_ext(e)
             whir_sumcheck_polys.append(evals)
             folding_pow_witnesses.append(transcript.grind(whir.folding_pow_bits))
             alpha = transcript.sample_ext()
-            a_dev = jf.ext_const(alpha)
+            a_dev = v.ef_dev(alpha)
             f_evals = fold_mle_vec(f_evals, a_dev)
             w_evals = fold_mle_vec(w_evals, a_dev)
         cur_m -= k
@@ -124,22 +125,21 @@ def prove_whir_opening(
             )
             g_rs = ntt(padded[None], ext=True)  # (1, H, 4)
             g_tree = build_merkle_tree(g_rs, 1 << k, ext=True)
-            g_commit = g_tree.root
+            g_commit = v.f(g_tree.layers[-1][:, 0])
             transcript.observe_commit(g_commit)
             codeword_commits.append(g_commit)
 
             z0 = transcript.sample_ext()
             # OOD value: MLE at (z0, z0^2, ...) == univariate eval at z0
             pow_tab = _pow_table(z0, cur_m, base_field=False)
-            y0 = jf.ext_to_host(
+            y0 = v.ef(
                 jf.ext_sum(jf.ext_mul(g_coeffs, pow_tab), axis=0)
             )
             transcript.observe_ext(y0)
             ood_values.append(y0)
         else:
-            final_poly = [
-                row for row in jf.ext_to_host(g_coeffs)
-            ]
+            fp = v.ef(g_coeffs)
+            final_poly = [fp[i] for i in range(fp.shape[0])]
             for c in final_poly:
                 transcript.observe_ext(c)
 
@@ -148,7 +148,6 @@ def prove_whir_opening(
             transcript.sample_bits(log_rs - k) for _ in range(num_queries)
         ]
         zs = []
-        omega = two_adic_generator(log_rs - k)
         if whir_round == 0:
             for com_idx, d in enumerate(committed):
                 proofs = d.tree.batch_query_proofs(indices) if indices else []
@@ -165,7 +164,7 @@ def prove_whir_opening(
             codeword_opened_values.append(opened)
             codeword_merkle_proofs.append(proofs)
         for index in indices:
-            zs.append(pow(omega, index, P))
+            zs.append(v.pow_omega(log_rs - k, index))
 
         if not is_last:
             rs_tree = g_tree
@@ -175,15 +174,15 @@ def prove_whir_opening(
         if not is_last:
             # w += gamma * eq(pow(z0)) + sum_i gamma^{2+i} * eq(pow(z_i))
             upd = jf.ext_mul(
-                jf.ext_const(gamma),
+                v.ef_dev(gamma),
                 eq_pows_hypercube_dev(z0, cur_m, base_field=False),
             )
-            gamma_pows = hext.epowers(gamma, len(zs) + 2)
+            gamma_pows = v.ext.epowers(gamma, len(zs) + 2)
             for i, zi in enumerate(zs):
                 upd = jf.ext_add(
                     upd,
                     jf.ext_mul(
-                        jf.ext_const(gamma_pows[i + 2]),
+                        v.ef_dev(gamma_pows[i + 2]),
                         eq_pows_hypercube_dev(zi, cur_m, base_field=True),
                     ),
                 )
