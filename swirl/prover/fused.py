@@ -171,6 +171,8 @@ def _fused_fn(backend, mpk, ctx):
     if key in cache:
         return cache[key]
 
+    meta = {}
+
     def fn(common_list):
         # fresh contexts bound to the jit arguments; pk data and
         # cached/preprocessed device arrays are closed over as constants
@@ -188,17 +190,26 @@ def _fused_fn(backend, mpk, ctx):
         with vmode.trace_mode():
             coord = Coordinator(backend, DeviceTranscript())
             proof = coord._prove(mpk, ProvingContext(per_trace))
-        return {
+        plain = {
             "common_main_commit": proof.common_main_commit,
             "gkr_proof": _to_plain(proof.gkr_proof),
             "batch_constraint_proof": _to_plain(proof.batch_constraint_proof),
             "stacking_proof": _to_plain(proof.stacking_proof),
             "whir_proof": _to_plain(proof.whir_proof),
         }
+        # pack every (uint32) leaf into ONE buffer: a warm prove then costs
+        # a single D2H fetch instead of one per proof field
+        import jax.numpy as jnp
+
+        leaves, treedef = jax.tree_util.tree_flatten(plain)
+        meta["treedef"] = treedef
+        meta["shapes"] = [jnp.shape(l) for l in leaves]
+        flat = [jnp.ravel(jnp.asarray(l, jnp.uint32)) for l in leaves]
+        return jnp.concatenate(flat) if flat else jnp.zeros((0,), jnp.uint32)
 
     jitted = jax.jit(fn)
-    cache[key] = jitted
-    return jitted
+    cache[key] = (jitted, meta)
+    return jitted, meta
 
 
 def prove_fused(backend, mpk, unsorted_ctx) -> Proof:
@@ -218,6 +229,13 @@ def prove_fused(backend, mpk, unsorted_ctx) -> Proof:
         public_values[air_id] = list(tc.public_values)
 
     common = [tc.common_main for _, tc in ctx.per_trace]
-    plain = _fused_fn(backend, mpk, ctx)(common)
-    plain = jax.tree_util.tree_map(np.asarray, plain)
+    jitted, meta = _fused_fn(backend, mpk, ctx)
+    flat = np.asarray(jitted(common))  # one transfer for the whole proof
+    leaves = []
+    off = 0
+    for shape in meta["shapes"]:
+        n = int(np.prod(shape)) if shape else 1
+        leaves.append(flat[off : off + n].reshape(shape))
+        off += n
+    plain = jax.tree_util.tree_unflatten(meta["treedef"], leaves)
     return _rebuild_proof(plain, trace_vdata, public_values)

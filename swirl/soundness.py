@@ -323,3 +323,116 @@ def min_whir_queries(
     regime = params.whir.proximity.in_round(0)
     per_query = regime.per_query_security_bits(params.log_blowup)
     return math.ceil(target_bits / per_query)
+
+
+# ---------------------------------------------------------------------------
+# vk-level audit (peer of reference ``src/soundness/vk.rs``)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class VkAuditFinding:
+    severity: str  # "info" | "warn" | "fail"
+    message: str
+
+
+@dataclass
+class VkAuditReport:
+    soundness: SoundnessReport
+    findings: list
+    achieved_bits: float
+    target_bits: float
+
+    @property
+    def ok(self) -> bool:
+        return not any(f.severity == "fail" for f in self.findings)
+
+
+def audit_vk(params, mvk, target_bits: float = 100.0) -> VkAuditReport:
+    """Audit a ``MultiStarkVerifyingKey`` against a security target.
+
+    Recomputes the RBR soundness from the vk's actual shape (constraint
+    counts, trace heights, stacked widths) rather than from preset
+    assumptions, and flags structural hazards the calculator alone cannot
+    see: interaction-count overflow headroom (trace-height linear
+    constraints must exist whenever a bus could wrap the field), missing
+    PoW gates, and degree overruns.
+    """
+    findings = []
+    num_airs = len(mvk.per_air)
+    max_constraints = max(
+        (len(vk.symbolic_constraints.constraint_idx) for vk in mvk.per_air),
+        default=1,
+    )
+    max_log_h = params.log_stacked_height
+    num_cols = sum(
+        vk.params.width.total_width() for vk in mvk.per_air
+    )
+    total_interactions = sum(
+        len(vk.symbolic_constraints.interactions) for vk in mvk.per_air
+    )
+    n_logup = max(
+        params.log_stacked_height - params.l_skip, 0
+    )
+    report = calculate_soundness(
+        params,
+        max_num_constraints_per_air=max(max_constraints, 1),
+        num_airs=max(num_airs, 1),
+        max_log_trace_height=max_log_h,
+        num_trace_columns=max(num_cols, 1),
+        num_stacked_columns=params.w_stack,
+        n_logup=n_logup,
+    )
+    if report.total_bits < target_bits:
+        findings.append(
+            VkAuditFinding(
+                "fail",
+                f"total soundness {report.total_bits:.1f} bits < target "
+                f"{target_bits:.1f}",
+            )
+        )
+    for name in (
+        "logup_bits",
+        "zerocheck_sumcheck_bits",
+        "stacked_reduction_bits",
+        "whir_bits",
+    ):
+        bits = getattr(report, name)
+        if bits < target_bits:
+            findings.append(
+                VkAuditFinding(
+                    "warn", f"{name} = {bits:.1f} below target (RBR component)"
+                )
+            )
+    if total_interactions and params.logup.pow_bits == 0:
+        findings.append(
+            VkAuditFinding(
+                "warn",
+                "interactions present but LogUp PoW gate disabled "
+                "(pow_bits = 0)",
+            )
+        )
+    for vk in mvk.per_air:
+        d = vk.max_constraint_degree
+        if d > params.max_constraint_degree:
+            findings.append(
+                VkAuditFinding(
+                    "fail",
+                    f"AIR constraint degree {d} exceeds params max "
+                    f"{params.max_constraint_degree}",
+                )
+            )
+    if total_interactions and not mvk.trace_height_constraints:
+        findings.append(
+            VkAuditFinding(
+                "fail",
+                "interactions present but no trace-height linear "
+                "constraints in vk (bus count overflow unchecked)",
+            )
+        )
+    return VkAuditReport(
+        soundness=report,
+        findings=findings,
+        achieved_bits=report.total_bits,
+        target_bits=target_bits,
+    )

@@ -72,3 +72,36 @@ class TestProductionPresets:
     def test_min_whir_queries_monotone(self):
         p = app_params_with_100_bits_security(24)
         assert min_whir_queries(p, 100) > min_whir_queries(p, 50)
+
+
+class TestVkAudit:
+    def _vk(self, airs):
+        from swirl.engine import StarkEngine
+        from swirl.params import test_system_params_small
+
+        eng = StarkEngine(test_system_params_small(2, 5, 2))
+        pk, vk = eng.keygen(airs)
+        return eng.params, vk
+
+    def test_audit_small_params_reports_low_bits(self):
+        from swirl.soundness import audit_vk
+        from swirl.testing.fixtures import FibonacciAir
+
+        params, vk = self._vk([FibonacciAir()])
+        rep = audit_vk(params, vk, target_bits=100.0)
+        # tiny test parameters cannot reach 100 bits
+        assert not rep.ok
+        assert rep.achieved_bits < 100.0
+        assert any(f.severity == "fail" for f in rep.findings)
+
+    def test_audit_interaction_structure(self):
+        from swirl.soundness import audit_vk
+        from swirl.testing.fixtures import SelfInteractionAir
+
+        params, vk = self._vk([SelfInteractionAir(width=4)])
+        rep = audit_vk(params, vk, target_bits=1.0)
+        # interactions imply trace-height constraints in the vk
+        assert vk.trace_height_constraints
+        assert not any(
+            "overflow unchecked" in f.message for f in rep.findings
+        )
