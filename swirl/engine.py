@@ -14,7 +14,7 @@ from .air import Air
 from .keygen import MultiStarkKeygenBuilder, MultiStarkProvingKey, MultiStarkVerifyingKey
 from .params import SystemParams
 from .proof import Proof
-from .prover.backend import (
+from .prover.backend import (  # noqa: F401
     AirContext,
     Coordinator,
     DeviceMultiStarkProvingKey,
@@ -28,9 +28,16 @@ from .debug import check_constraints_and_interactions
 
 
 class StarkEngine:
-    def __init__(self, params: SystemParams):
+    def __init__(self, params: SystemParams, prover_config=None):
         self.params = params
-        self.backend = JaxBackend(params)
+        self.backend = JaxBackend(params, prover_config)
+
+    def proving_memory_config(self):
+        """HBM peak model for segmentation decisions (cf. reference
+        ``StarkEngine::proving_memory_config``, ``engine.rs:68-78``)."""
+        from .memory_metering import ProvingMemoryConfig
+
+        return ProvingMemoryConfig.from_params(self.params)
 
     # -- keygen ----------------------------------------------------------------
 

@@ -86,18 +86,32 @@ class DeviceMultiStarkProvingKey:
     vk_pre_hash: np.ndarray
 
 
+@dataclass
+class ProverConfig:
+    """Memory-policy knobs, peer of the reference ``GpuProverConfig``
+    (``cuda-backend/src/device.rs:26-47``): dropping the stacked matrix /
+    RS codeword after commitment trades one recompute (stacking gather /
+    RS NTT) for the two dominant HBM buffers."""
+
+    cache_stacked_matrix: bool = True
+    cache_rs_code_matrix: bool = True
+
+
 class JaxBackend:
     """Device operations for commitment + the two proving stages."""
 
-    def __init__(self, params: SystemParams):
+    def __init__(self, params: SystemParams, config: Optional[ProverConfig] = None):
         self.params = params
+        self.config = config or ProverConfig()
 
     # -- commitment ----------------------------------------------------------
 
     def commit_traces(self, traces: List[jnp.ndarray]):
         p = self.params
         return stacked_commit(
-            p.l_skip, p.n_stack, p.log_blowup, p.k_whir, traces
+            p.l_skip, p.n_stack, p.log_blowup, p.k_whir, traces,
+            cache_stacked_matrix=self.config.cache_stacked_matrix,
+            cache_rs_code_matrix=self.config.cache_rs_code_matrix,
         )
 
     def commit_single(self, trace_host: np.ndarray) -> CommittedTraceData:

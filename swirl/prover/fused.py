@@ -155,12 +155,12 @@ def enable_compile_cache(path: str = "/root/repo/.jax_cache") -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
-def _fused_fn(backend, mpk, ctx):
-    """Build (and cache on the mpk) the jitted whole-proof function for this
-    context shape."""
+def _fused_fn(backend, mpk, ctx, jit: bool = True):
+    """Build (and cache on the mpk) the whole-proof function for this
+    context shape (jitted single program, or the eager-async variant)."""
     from .backend import AirContext, Coordinator, ProvingContext
 
-    key = tuple(
+    key = (jit,) + tuple(
         (air_id, tc.height, int(tc.common_main.shape[0]))
         for air_id, tc in ctx.per_trace
     )
@@ -207,13 +207,22 @@ def _fused_fn(backend, mpk, ctx):
         flat = [jnp.ravel(jnp.asarray(l, jnp.uint32)) for l in leaves]
         return jnp.concatenate(flat) if flat else jnp.zeros((0,), jnp.uint32)
 
-    jitted = jax.jit(fn)
-    cache[key] = (jitted, meta)
-    return jitted, meta
+    wrapped = jax.jit(fn) if jit else fn
+    cache[key] = (wrapped, meta)
+    return wrapped, meta
 
 
-def prove_fused(backend, mpk, unsorted_ctx) -> Proof:
-    """One-XLA-program prove; byte-identical to ``Coordinator.prove``."""
+def prove_fused(backend, mpk, unsorted_ctx, mode: str = "jit") -> Proof:
+    """Device-resident prove; byte-identical to ``Coordinator.prove``.
+
+    mode="jit": the whole proof is ONE compiled XLA program (compile once
+    per shape, best steady-state latency; compile cost grows with the round
+    count).
+    mode="eager": the same trace-mode pipeline runs op-by-op with async
+    dispatch — the transcript and every intermediate stay on device, there
+    are ZERO host round-trips until the single final proof fetch, and
+    nothing big ever compiles. The right choice for one-off shapes.
+    """
     enable_compile_cache()
     ctx = unsorted_ctx.sorted_for_stacking()
     num_airs = len(mpk.per_air)
@@ -229,8 +238,8 @@ def prove_fused(backend, mpk, unsorted_ctx) -> Proof:
         public_values[air_id] = list(tc.public_values)
 
     common = [tc.common_main for _, tc in ctx.per_trace]
-    jitted, meta = _fused_fn(backend, mpk, ctx)
-    flat = np.asarray(jitted(common))  # one transfer for the whole proof
+    fn, meta = _fused_fn(backend, mpk, ctx, jit=(mode == "jit"))
+    flat = np.asarray(fn(common))  # one transfer for the whole proof
     leaves = []
     off = 0
     for shape in meta["shapes"]:

@@ -112,16 +112,39 @@ class StackedLayout:
 
 @dataclass
 class StackedPcsData:
-    """Prover-side committed data for one stacked commitment."""
+    """Prover-side committed data for one stacked commitment.
+
+    Memory policy (peer of the reference ``GpuProverConfig``,
+    ``cuda-backend/src/device.rs:26-47``): ``matrix`` and ``rs_matrix`` may
+    be dropped after commitment (``ProverConfig.cache_*`` knobs) and are
+    recomputed on demand from the retained traces — trading one extra
+    stacking gather / RS NTT for the dominant HBM buffers.
+    """
 
     layout: StackedLayout
-    matrix: jnp.ndarray  # (width, height) stacked evaluations, Monty
-    rs_matrix: jnp.ndarray  # (width, height << log_blowup) codewords, Monty
+    matrix: Optional[jnp.ndarray]  # (width, height) stacked evals, Monty
+    rs_matrix: Optional[jnp.ndarray]  # (width, height<<blowup) codewords
     tree: MerkleTree
+    # retained inputs + params for recompute-on-demand
+    traces: Optional[Sequence[jnp.ndarray]] = None
+    l_skip: int = 0
+    n_stack: int = 0
+    log_blowup: int = 0
 
     @property
     def commit(self) -> np.ndarray:
         return self.tree.root
+
+    def get_matrix(self) -> jnp.ndarray:
+        if self.matrix is not None:
+            return self.matrix
+        stacked, _ = stack_traces(self.l_skip, self.n_stack, self.traces)
+        return stacked
+
+    def get_rs_matrix(self) -> jnp.ndarray:
+        if self.rs_matrix is not None:
+            return self.rs_matrix
+        return rs_code_matrix(self.l_skip, self.log_blowup, self.get_matrix())
 
 
 def stack_traces(
@@ -186,6 +209,8 @@ def stacked_commit(
     log_blowup: int,
     k_whir: int,
     traces: Sequence[jnp.ndarray],
+    cache_stacked_matrix: bool = True,
+    cache_rs_code_matrix: bool = True,
 ) -> Tuple[np.ndarray, StackedPcsData]:
     """Commit to a height-sorted collection of traces; returns (root, data)."""
     from .vmode import vm
@@ -193,5 +218,14 @@ def stacked_commit(
     stacked, layout = stack_traces(l_skip, n_stack, traces)
     rs = rs_code_matrix(l_skip, log_blowup, stacked)
     tree = build_merkle_tree(rs, 1 << k_whir)
-    data = StackedPcsData(layout=layout, matrix=stacked, rs_matrix=rs, tree=tree)
+    data = StackedPcsData(
+        layout=layout,
+        matrix=stacked if cache_stacked_matrix else None,
+        rs_matrix=rs if cache_rs_code_matrix else None,
+        tree=tree,
+        traces=list(traces),
+        l_skip=l_skip,
+        n_stack=n_stack,
+        log_blowup=log_blowup,
+    )
     return vm().f(tree.layers[-1][:, 0]), data

@@ -114,6 +114,7 @@ def prove_stacked_opening_reduction(
         for i in range(1 << l_skip):
             z_points.append(sh * int(w_pows[i]) % P)
 
+    stacked_mats = [d.get_matrix() for d in stacked_per_commit]
     total_evals = [v.ext.ezero() for _ in range(B_z)]
     for s, e in groups:
         lht = trace_views[s].slice.log_height
@@ -126,7 +127,7 @@ def prove_stacked_opening_reduction(
         cols = []
         for i in range(s, e):
             tv = trace_views[i]
-            mat = stacked_per_commit[tv.com_idx].matrix
+            mat = stacked_mats[tv.com_idx]
             sl = tv.slice
             cols.append(
                 jax_slice(mat, sl.col_idx, sl.row_idx, sl.length(l_skip))
@@ -177,7 +178,7 @@ def prove_stacked_opening_reduction(
 
     weights = barycentric_weights_dev(l_skip, u0)
     q_evals = [
-        fold_ple(d.matrix, l_skip, False, weights) for d in stacked_per_commit
+        fold_ple(m, l_skip, False, weights) for m in stacked_mats
     ]
 
     eq_uni_u0r0 = v.poly.eval_eq_uni(l_skip, u0, r0)

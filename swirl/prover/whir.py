@@ -56,18 +56,19 @@ def prove_whir_opening(
 
     mu_pow_witness = transcript.grind(whir.mu_pow_bits)
     mu = transcript.sample_ext()
-    total_width = sum(int(d.matrix.shape[0]) for d in committed)
+    total_width = sum(int(d.get_matrix().shape[0]) for d in committed)
     mu_pows = v.ext.epowers(mu, total_width)
 
-    m = int(committed[0].matrix.shape[1]).bit_length() - 1
+    m = int(committed[0].get_matrix().shape[1]).bit_length() - 1
     log_rs = m + log_blowup
 
     # f = sum_j mu^j * hatF_j, hatF_j = zeta-transform of the RS message
     f_evals = None
     off = 0
     for d in committed:
-        w = int(d.matrix.shape[0])
-        msg = rs_message(l_skip, d.matrix)
+        mat = d.get_matrix()
+        w = int(mat.shape[0])
+        msg = rs_message(l_skip, mat)
         hatf = zeta_transform(msg, m)  # (w, 2^m) base
         mu_dev = v.const_vec(mu_pows[off : off + w])  # (w, 4)
         contrib = jf.ext_sum(jf.mul(hatf[:, :, None], mu_dev[:, None, :]), axis=0)
@@ -149,10 +150,11 @@ def prove_whir_opening(
         ]
         zs = []
         if whir_round == 0:
+            rs_mats = [d.get_rs_matrix() for d in committed]
             for com_idx, d in enumerate(committed):
                 proofs = d.tree.batch_query_proofs(indices) if indices else []
                 for qi, index in enumerate(indices):
-                    rows = get_opened_rows(d.rs_matrix, index, 1 << k, ext=False)
+                    rows = get_opened_rows(rs_mats[com_idx], index, 1 << k, ext=False)
                     initial_opened_rows[com_idx].append(rows)
                     initial_merkle_proofs[com_idx].append(proofs[qi])
         else:

@@ -93,3 +93,42 @@ class TestRandomizedParams:
         trace = FibonacciAir.generate_trace(1, 2, n)
         pvs = FibonacciAir.pvs(1, 2, n)
         engine.run_test([FibonacciAir()], [(trace, pvs, [])])
+
+
+class TestProverConfig:
+    def test_no_cache_recompute_path(self):
+        """cache_stacked_matrix=False / cache_rs_code_matrix=False must
+        produce the identical proof (recompute-on-demand policy)."""
+        import numpy as np
+        from swirl.engine import StarkEngine
+        from swirl.params import test_system_params_small
+        from swirl.prover.backend import ProverConfig, ProvingContext
+        from swirl.testing.fixtures import FibonacciAir
+        from swirl.codec import encode_proof
+
+        air = FibonacciAir()
+        trace = FibonacciAir.generate_trace(0, 1, 32)
+        pvs = FibonacciAir.pvs(0, 1, 32)
+        params = test_system_params_small(2, 4, 2)
+
+        proofs = []
+        for cfg in (
+            ProverConfig(),
+            ProverConfig(cache_stacked_matrix=False, cache_rs_code_matrix=False),
+        ):
+            eng = StarkEngine(params, prover_config=cfg)
+            pk, vk = eng.keygen([air])
+            ctx = ProvingContext([eng.context_for(0, trace, pvs, [])])
+            dpk = eng.transport_pk(pk)
+            proof = eng.prove(dpk, ctx)
+            eng.verify(vk, proof)
+            proofs.append(encode_proof(proof))
+        assert proofs[0] == proofs[1]
+
+    def test_memory_config_estimates(self):
+        from swirl.engine import StarkEngine
+        from swirl.params import test_system_params_small
+
+        eng = StarkEngine(test_system_params_small(2, 6, 2))
+        cfg = eng.proving_memory_config()
+        assert cfg.stacked_matrix_memory_bytes(1 << 12) > 0
