@@ -393,3 +393,280 @@ def decode_proof(data: bytes) -> Proof:
         stacking_proof=stacking,
         whir_proof=whir,
     )
+
+
+# -- vk codec -----------------------------------------------------------------
+# Peer of the reference's EncodableConfig + vk Encode/Decode impls
+# (codec.rs:53, keygen/types.rs): a versioned, non-self-describing byte
+# layout for MultiStarkVerifyingKey including the full SystemParams and
+# each AIR's symbolic constraint DAG, so a verifier can be instantiated
+# from bytes alone.
+
+
+def _w_i64(buf, v: int):
+    buf.write(struct.pack("<q", int(v)))
+
+
+def _r_i64(buf) -> int:
+    b = buf.read(8)
+    if len(b) != 8:
+        raise CodecError("unexpected EOF")
+    return struct.unpack("<q", b)[0]
+
+
+def _w_str(buf, s: str):
+    b = s.encode()
+    _w_usize(buf, len(b))
+    buf.write(b)
+
+
+def _r_str(buf) -> str:
+    n = _r_usize(buf)
+    b = buf.read(n)
+    if len(b) != n:
+        raise CodecError("unexpected EOF")
+    return b.decode()
+
+
+def _encode_params(buf, params):
+    _w_usize(buf, params.l_skip)
+    _w_usize(buf, params.n_stack)
+    _w_usize(buf, params.w_stack)
+    _w_usize(buf, params.log_blowup)
+    _w_usize(buf, params.max_constraint_degree)
+    w = params.whir
+    _w_usize(buf, w.k)
+    _w_usize(buf, w.mu_pow_bits)
+    _w_usize(buf, w.query_phase_pow_bits)
+    _w_usize(buf, w.folding_pow_bits)
+    _w_usize(buf, len(w.rounds))
+    for r in w.rounds:
+        _w_usize(buf, r.num_queries)
+    pr = w.proximity
+    _w_usize(buf, pr.m)
+    _w_usize(buf, pr.list_start_round)
+    _w_str(buf, pr.kind)
+    _w_usize(buf, params.logup.max_interaction_count)
+    _w_usize(buf, params.logup.log_max_message_length)
+    _w_usize(buf, params.logup.pow_bits)
+
+
+def _decode_params(buf):
+    from .params import (
+        LogUpSecurityParameters,
+        SystemParams,
+        WhirConfig,
+        WhirProximityStrategy,
+        WhirRoundConfig,
+    )
+
+    l_skip = _r_usize(buf)
+    n_stack = _r_usize(buf)
+    w_stack = _r_usize(buf)
+    log_blowup = _r_usize(buf)
+    maxd = _r_usize(buf)
+    k = _r_usize(buf)
+    mu_pow = _r_usize(buf)
+    qp_pow = _r_usize(buf)
+    fold_pow = _r_usize(buf)
+    nr = _r_usize(buf)
+    rounds = tuple(WhirRoundConfig(_r_usize(buf)) for _ in range(nr))
+    m = _r_usize(buf)
+    lsr = _r_usize(buf)
+    kind = _r_str(buf)
+    prox = WhirProximityStrategy(kind=kind, m=m, list_start_round=lsr)
+    logup = LogUpSecurityParameters(
+        max_interaction_count=_r_usize(buf),
+        log_max_message_length=_r_usize(buf),
+        pow_bits=_r_usize(buf),
+    )
+    whir = WhirConfig(
+        k=k,
+        rounds=rounds,
+        mu_pow_bits=mu_pow,
+        query_phase_pow_bits=qp_pow,
+        folding_pow_bits=fold_pow,
+        proximity=prox,
+    )
+    return SystemParams(
+        l_skip=l_skip,
+        n_stack=n_stack,
+        w_stack=w_stack,
+        log_blowup=log_blowup,
+        whir=whir,
+        logup=logup,
+        max_constraint_degree=maxd,
+    )
+
+
+_NODE_TAGS = ["const", "var", "sel", "add", "sub", "mul", "neg"]
+
+
+def _encode_dag(buf, dag):
+    _w_usize(buf, len(dag.nodes))
+    for n in dag.nodes:
+        tag = n[0]
+        buf.write(bytes([_NODE_TAGS.index(tag)]))
+        if tag == "const":
+            _w_u32(buf, int(n[1]))
+        elif tag == "var":
+            _w_str(buf, n[1])
+            _w_usize(buf, n[2])
+            _w_usize(buf, n[3])
+            _w_usize(buf, n[4])
+        elif tag == "sel":
+            _w_str(buf, n[1])
+        elif tag in ("add", "sub", "mul"):
+            _w_usize(buf, n[1])
+            _w_usize(buf, n[2])
+            _w_usize(buf, n[3])
+        else:  # neg
+            _w_usize(buf, n[1])
+            _w_usize(buf, n[2])
+    _w_usize(buf, len(dag.constraint_idx))
+    for i in dag.constraint_idx:
+        _w_usize(buf, i)
+    _w_usize(buf, len(dag.interactions))
+    for it in dag.interactions:
+        _w_usize(buf, len(it.message))
+        for mi in it.message:
+            _w_usize(buf, mi)
+        _w_usize(buf, it.count)
+        _w_usize(buf, it.bus_index)
+        _w_i64(buf, it.count_weight)
+
+
+def _decode_dag(buf):
+    from .symbolic import ConstraintsDag, Interaction
+
+    nn = _r_usize(buf)
+    nodes = []
+    for _ in range(nn):
+        t = buf.read(1)
+        if len(t) != 1:
+            raise CodecError("unexpected EOF")
+        tag = _NODE_TAGS[t[0]]
+        if tag == "const":
+            nodes.append(("const", _r_u32(buf)))
+        elif tag == "var":
+            nodes.append(
+                ("var", _r_str(buf), _r_usize(buf), _r_usize(buf), _r_usize(buf))
+            )
+        elif tag == "sel":
+            nodes.append(("sel", _r_str(buf)))
+        elif tag in ("add", "sub", "mul"):
+            nodes.append((tag, _r_usize(buf), _r_usize(buf), _r_usize(buf)))
+        else:
+            nodes.append(("neg", _r_usize(buf), _r_usize(buf)))
+    cidx = [_r_usize(buf) for _ in range(_r_usize(buf))]
+    its = []
+    for _ in range(_r_usize(buf)):
+        msg = [_r_usize(buf) for _ in range(_r_usize(buf))]
+        its.append(
+            Interaction(
+                message=msg,
+                count=_r_usize(buf),
+                bus_index=_r_usize(buf),
+                count_weight=_r_i64(buf),
+            )
+        )
+    return ConstraintsDag(nodes=nodes, constraint_idx=cidx, interactions=its)
+
+
+def encode_vk(mvk) -> bytes:
+    """MultiStarkVerifyingKey -> versioned bytes."""
+    buf = io.BytesIO()
+    _w_u32(buf, CODEC_VERSION)
+    _encode_params(buf, mvk.params)
+    _w_usize(buf, len(mvk.per_air))
+    for vk in mvk.per_air:
+        w = vk.params.width
+        _w_i64(buf, -1 if w.preprocessed is None else w.preprocessed)
+        _w_usize(buf, len(w.cached_mains))
+        for c in w.cached_mains:
+            _w_usize(buf, c)
+        _w_usize(buf, w.common_main)
+        _w_usize(buf, vk.params.num_public_values)
+        buf.write(bytes([1 if vk.params.need_rot else 0]))
+        _w_usize(buf, vk.max_constraint_degree)
+        buf.write(bytes([1 if vk.is_required else 0]))
+        if vk.preprocessed_data is not None:
+            buf.write(b"\x01")
+            _w_digest(buf, vk.preprocessed_data.commit)
+            _w_i64(buf, vk.preprocessed_data.hypercube_dim)
+            _w_usize(buf, vk.preprocessed_data.stacking_width)
+        else:
+            buf.write(b"\x00")
+        _encode_dag(buf, vk.symbolic_constraints)
+    _w_usize(buf, len(mvk.trace_height_constraints))
+    for c in mvk.trace_height_constraints:
+        _w_usize(buf, len(c.coefficients))
+        for co in c.coefficients:
+            _w_usize(buf, co)
+        _w_usize(buf, c.threshold)
+    _w_digest(buf, mvk.pre_hash)
+    return buf.getvalue()
+
+
+def decode_vk(data: bytes):
+    """Bytes -> MultiStarkVerifyingKey (roundtrip of :func:`encode_vk`)."""
+    from .keygen import (
+        LinearConstraint,
+        MultiStarkVerifyingKey,
+        StarkVerifyingKey,
+        StarkVerifyingParams,
+        TraceWidth,
+        VerifierPreprocessedData,
+    )
+
+    buf = io.BytesIO(data)
+    if _r_u32(buf) != CODEC_VERSION:
+        raise CodecError("codec version mismatch")
+    params = _decode_params(buf)
+    per_air = []
+    for _ in range(_r_usize(buf)):
+        prep_w = _r_i64(buf)
+        cached = [_r_usize(buf) for _ in range(_r_usize(buf))]
+        common = _r_usize(buf)
+        npv = _r_usize(buf)
+        need_rot = buf.read(1) == b"\x01"
+        maxd = _r_usize(buf)
+        is_required = buf.read(1) == b"\x01"
+        prep = None
+        if buf.read(1) == b"\x01":
+            prep = VerifierPreprocessedData(
+                commit=_r_digest(buf),
+                hypercube_dim=_r_i64(buf),
+                stacking_width=_r_usize(buf),
+            )
+        dag = _decode_dag(buf)
+        per_air.append(
+            StarkVerifyingKey(
+                preprocessed_data=prep,
+                params=StarkVerifyingParams(
+                    width=TraceWidth(
+                        preprocessed=None if prep_w < 0 else prep_w,
+                        cached_mains=cached,
+                        common_main=common,
+                    ),
+                    num_public_values=npv,
+                    need_rot=need_rot,
+                ),
+                symbolic_constraints=dag,
+                max_constraint_degree=maxd,
+                is_required=is_required,
+            )
+        )
+    constraints = []
+    for _ in range(_r_usize(buf)):
+        coeffs = [_r_usize(buf) for _ in range(_r_usize(buf))]
+        constraints.append(
+            LinearConstraint(coefficients=coeffs, threshold=_r_usize(buf))
+        )
+    pre_hash = _r_digest(buf)
+    return MultiStarkVerifyingKey(
+        params=params,
+        per_air=per_air,
+        trace_height_constraints=constraints,
+        pre_hash=pre_hash,
+    )

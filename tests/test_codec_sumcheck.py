@@ -109,3 +109,50 @@ class TestCodec:
         blob = encode_proof(proof) + b"\x00"
         with pytest.raises(CodecError):
             decode_proof(blob)
+
+
+class TestVkCodec:
+    def test_vk_roundtrip_and_verify(self):
+        """encode_vk/decode_vk roundtrip; a decoded vk verifies a proof."""
+        from swirl.codec import decode_vk, encode_vk
+        from swirl.engine import StarkEngine
+        from swirl.params import test_system_params_small
+        from swirl.prover.backend import ProvingContext
+        from swirl.testing.fixtures import SelfInteractionAir
+        from swirl.verifier import verify
+
+        air = SelfInteractionAir(width=4)
+        eng = StarkEngine(test_system_params_small(2, 4, 2))
+        pk, vk = eng.keygen([air])
+        trace = air.generate_trace(16)
+        ctx = ProvingContext([eng.context_for(0, trace, [], [])])
+        dpk = eng.transport_pk(pk)
+        proof = eng.prove(dpk, ctx)
+
+        data = encode_vk(vk)
+        vk2 = decode_vk(data)
+        assert encode_vk(vk2) == data
+        assert vk2.params == vk.params
+        assert len(vk2.per_air) == len(vk.per_air)
+        assert vk2.per_air[0].symbolic_constraints.nodes == (
+            vk.per_air[0].symbolic_constraints.nodes
+        )
+        import numpy as np
+
+        assert np.array_equal(vk2.pre_hash, vk.pre_hash)
+        verify(vk2.params, vk2, proof)
+
+    def test_vk_codec_rejects_bad_version(self):
+        import pytest
+
+        from swirl.codec import CodecError, decode_vk, encode_vk
+        from swirl.engine import StarkEngine
+        from swirl.params import test_system_params_small
+        from swirl.testing.fixtures import FibonacciAir
+
+        eng = StarkEngine(test_system_params_small(2, 4, 2))
+        _, vk = eng.keygen([FibonacciAir()])
+        data = bytearray(encode_vk(vk))
+        data[0] ^= 0xFF
+        with pytest.raises(CodecError):
+            decode_vk(bytes(data))
