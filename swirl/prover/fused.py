@@ -152,7 +152,9 @@ def enable_compile_cache(path: str = "/root/repo/.jax_cache") -> None:
         os_makedirs = __import__("os").makedirs
         os_makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        # cache EVERYTHING: on a remote-compile setup (axon) even sub-second
+        # modules pay a round trip to the compile helper
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 def _fused_fn(backend, mpk, ctx, jit: bool = True):

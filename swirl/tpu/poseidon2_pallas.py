@@ -232,9 +232,71 @@ def hash_cols(matT) -> jnp.ndarray:
     return _hash_cols_fn(w, pallas_mode() == "interpret")(matT)
 
 
+def _compress_kernel(n_half: int, n_partial: int, in_ref, ext_rc_ref,
+                     int_rc_ref, diag_ref, out_ref):
+    """(16, 8, 128) digest-pair block -> single truncated permutation.
+
+    The Merkle 2-to-1 compression is ONE Poseidon2 permutation of the
+    concatenated digests (``compress_np``), NOT a rate-8 sponge absorb of
+    16 values — the two differ in both permutation count and capacity
+    handling.
+    """
+    lanes = tuple(in_ref[i] for i in range(WIDTH))
+    lanes = _permute_tuple(
+        lanes, ext_rc_ref, int_rc_ref, diag_ref, n_half, n_partial
+    )
+    for i in range(DIGEST):
+        out_ref[i] = lanes[i]
+
+
+@lru_cache(maxsize=None)
+def _compress_cols_fn(interpret: bool):
+    ext_rc, int_rc, diag = _mont_round_constants()
+    n_half = ext_rc.shape[0] // 2
+    n_partial = int_rc.shape[0]
+
+    def run(pairs):
+        n = pairs.shape[1]
+        nt = n // TILE_LANE
+        arr = pairs.reshape(WIDTH, nt, TILE_LANE)
+        out = pl.pallas_call(
+            partial(_compress_kernel, n_half, n_partial),
+            grid=(nt // TILE_SUB,),
+            in_specs=[
+                pl.BlockSpec(
+                    (WIDTH, TILE_SUB, TILE_LANE),
+                    lambda i: (0, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    ext_rc.shape, lambda i: (0, 0), memory_space=pltpu.SMEM
+                ),
+                pl.BlockSpec(
+                    int_rc.shape, lambda i: (0, 0), memory_space=pltpu.SMEM
+                ),
+                pl.BlockSpec(
+                    diag.shape, lambda i: (0, 0), memory_space=pltpu.SMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (DIGEST, TILE_SUB, TILE_LANE),
+                lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((DIGEST, nt, TILE_LANE), jnp.uint32),
+            interpret=interpret,
+        )(arr, ext_rc, int_rc, diag)
+        return out.reshape(DIGEST, n)
+
+    return run if interpret else jax.jit(run)
+
+
 def compress_cols(pairs) -> jnp.ndarray:
-    """(16, n) lane-major digest pairs -> (8, n) (sponge with w=16)."""
-    return hash_cols(pairs)
+    """(16, n) lane-major digest pairs -> (8, n): one truncated permutation
+    per pair (``compress_np`` semantics)."""
+    from . import pallas_mode
+
+    return _compress_cols_fn(pallas_mode() == "interpret")(pairs)
 
 
 def _tower_kernel(levels: int, n_half: int, n_partial: int, in_ref,

@@ -199,3 +199,83 @@ class TestTranscriptValidator:
         val = TranscriptValidator(rec.log)
         eng.verify(vk, proof, transcript=val)
         val.finish()
+
+
+class TestMerkleCompressionSemantics:
+    """The 2-to-1 Merkle compression is ONE truncated permutation
+    (compress_np), not a sponge absorb — the Pallas and fallback paths must
+    both implement it (regression: the Pallas path once aliased the
+    sponge, diverging for layers >= 1024 digests)."""
+
+    def test_compress_cols_matches_compress_np(self):
+        import os
+
+        import jax.numpy as jnp
+
+        from swirl.fields import jfield as jf
+        from swirl.fields.babybear import P
+        from swirl.hash import jposeidon2 as jp2
+        from swirl.hash.poseidon2 import compress_np
+
+        rng = np.random.default_rng(9)
+        prev = os.environ.get("SWIRL_PALLAS")
+        for mode, sizes in (("interpret", (1024, 2048)), (None, (64, 256))):
+            if mode:
+                os.environ["SWIRL_PALLAS"] = mode
+            elif "SWIRL_PALLAS" in os.environ:
+                del os.environ["SWIRL_PALLAS"]
+            try:
+                for n in sizes:
+                    p_h = rng.integers(0, P, (16, n), dtype=np.uint64)
+                    got = jf.to_host(
+                        jp2.compress_cols(jnp.asarray(jf.const_arr(p_h)))
+                    )
+                    exp = compress_np(p_h[:8].T, p_h[8:].T).T
+                    assert np.array_equal(got, exp), (mode, n)
+            finally:
+                if prev is None:
+                    os.environ.pop("SWIRL_PALLAS", None)
+                else:
+                    os.environ["SWIRL_PALLAS"] = prev
+
+    def test_merkle_tree_matches_host_oracle(self):
+        import os
+
+        import jax.numpy as jnp
+
+        from swirl.fields import jfield as jf
+        from swirl.fields.babybear import P
+        from swirl.hash.poseidon2 import compress_np, hash_rows_np
+        from swirl.prover.merkle import build_merkle_tree
+
+        rng = np.random.default_rng(10)
+        w, n, rpq = 2, 2048, 16
+        m_h = rng.integers(0, P, (w, n), dtype=np.uint64)
+        prev = os.environ.get("SWIRL_PALLAS")
+        os.environ["SWIRL_PALLAS"] = "interpret"
+        try:
+            tree = build_merkle_tree(jnp.asarray(jf.const_arr(m_h)), rpq)
+        finally:
+            if prev is None:
+                os.environ.pop("SWIRL_PALLAS", None)
+            else:
+                os.environ["SWIRL_PALLAS"] = prev
+        digs = hash_rows_np(m_h.T).T
+        qs = n // rpq
+        cur, size = digs, n
+        while size > qs:
+            half = size // 2
+            g = cur.reshape(8, half // qs, 2, qs)
+            cur = compress_np(
+                g[:, :, 0].reshape(8, half).T, g[:, :, 1].reshape(8, half).T
+            ).T
+            size = half
+        exp_layers = [cur]
+        while exp_layers[-1].shape[1] > 1:
+            prevl = exp_layers[-1]
+            exp_layers.append(
+                compress_np(prevl[:, 0::2].T, prevl[:, 1::2].T).T
+            )
+        assert len(tree.layers) == len(exp_layers)
+        for a, b in zip(tree.layers, exp_layers):
+            assert np.array_equal(jf.to_host(a), b)
