@@ -1,0 +1,111 @@
+"""Extract proof content from a pure transcript stream and compare with the
+original proof (the reference's transcript_extractor harness)."""
+
+import numpy as np
+
+import tests.conftest  # noqa: F401
+
+from swirl.engine import StarkEngine
+from swirl.params import test_system_params_small as small_params
+from swirl.prover.backend import ProvingContext
+from swirl.testing.fixtures import FibonacciAir, SelfInteractionAir
+from swirl.transcript import Transcript
+from swirl.verifier.transcript_extractor import extract_proof_from_transcript
+
+
+def _roundtrip(airs, ctx_args, params):
+    eng = StarkEngine(params)
+    pk, vk = eng.keygen(airs)
+    ctx = ProvingContext(
+        [eng.context_for(i, *a) for i, a in enumerate(ctx_args)]
+    )
+    dpk = eng.transport_pk(pk)
+    rec = Transcript(record=True)
+    proof = eng.prove(dpk, ctx, transcript=rec)
+    eng.verify(vk, proof)
+    extracted = extract_proof_from_transcript(
+        vk, proof.trace_vdata, proof.public_values, rec.log
+    )
+    return proof, extracted
+
+
+def _assert_fields_equal(a, b):
+    assert np.array_equal(a.common_main_commit, b.common_main_commit)
+    ga, gb = a.gkr_proof, b.gkr_proof
+    assert ga.logup_pow_witness == gb.logup_pow_witness
+    assert np.array_equal(ga.q0_claim, gb.q0_claim)
+    assert len(ga.claims_per_layer) == len(gb.claims_per_layer)
+    for ca, cb in zip(ga.claims_per_layer, gb.claims_per_layer):
+        for f in ("p_xi_0", "q_xi_0", "p_xi_1", "q_xi_1"):
+            assert np.array_equal(getattr(ca, f), getattr(cb, f))
+    ba, bb = a.batch_constraint_proof, b.batch_constraint_proof
+    for x, y in zip(ba.univariate_round_coeffs, bb.univariate_round_coeffs):
+        assert np.array_equal(x, y)
+    assert len(ba.column_openings) == len(bb.column_openings)
+    for pa, pb in zip(ba.column_openings, bb.column_openings):
+        for fa, fb in zip(pa, pb):
+            assert len(fa) == len(fb)
+            for x, y in zip(fa, fb):
+                assert np.array_equal(x, y)
+    sa, sb = a.stacking_proof, b.stacking_proof
+    for oa, ob in zip(sa.stacking_openings, sb.stacking_openings):
+        for x, y in zip(oa, ob):
+            assert np.array_equal(x, y)
+    wa, wb = a.whir_proof, b.whir_proof
+    assert wa.mu_pow_witness == wb.mu_pow_witness
+    assert wa.folding_pow_witnesses == wb.folding_pow_witnesses
+    assert wa.query_phase_pow_witnesses == wb.query_phase_pow_witnesses
+    for x, y in zip(wa.codeword_commits, wb.codeword_commits):
+        assert np.array_equal(x, y)
+    for x, y in zip(wa.ood_values, wb.ood_values):
+        assert np.array_equal(x, y)
+    for x, y in zip(wa.final_poly, wb.final_poly):
+        assert np.array_equal(x, y)
+
+
+class TestTranscriptExtractor:
+    def test_fibonacci(self):
+        air = FibonacciAir()
+        proof, extracted = _roundtrip(
+            [air],
+            [(FibonacciAir.generate_trace(0, 1, 32), FibonacciAir.pvs(0, 1, 32), [])],
+            small_params(2, 4, 2),
+        )
+        _assert_fields_equal(proof, extracted)
+
+    def test_with_interactions(self):
+        air = SelfInteractionAir(width=4)
+        proof, extracted = _roundtrip(
+            [air],
+            [(air.generate_trace(16), [], [])],
+            small_params(2, 4, 2),
+        )
+        _assert_fields_equal(proof, extracted)
+
+    def test_tampered_stream_detected(self):
+        import pytest
+
+        from swirl.verifier.transcript_extractor import ExtractionError
+
+        air = FibonacciAir()
+        eng = StarkEngine(small_params(2, 4, 2))
+        pk, vk = eng.keygen([air])
+        ctx = ProvingContext(
+            [
+                eng.context_for(
+                    0,
+                    FibonacciAir.generate_trace(0, 1, 32),
+                    FibonacciAir.pvs(0, 1, 32),
+                    [],
+                )
+            ]
+        )
+        dpk = eng.transport_pk(pk)
+        rec = Transcript(record=True)
+        proof = eng.prove(dpk, ctx, transcript=rec)
+        log = list(rec.log)
+        del log[-1]
+        with pytest.raises(ExtractionError):
+            extract_proof_from_transcript(
+                vk, proof.trace_vdata, proof.public_values, log
+            )
