@@ -195,3 +195,104 @@ def sharded_commit_step(mesh: Mesh, l_skip: int, log_blowup: int, k_whir: int):
         )(stacked)
 
     return jax.jit(step)
+
+
+def sharded_gkr_layer_step(mesh: Mesh):
+    """Builds a jitted sharded GKR step: fraction-tree layer combine with
+    shard-local pairwise projective additions + gathered cross-shard tail,
+    and a degree-3 layer-sumcheck round-poly partial reduced with psum
+    (3 EF values per round cross the ICI — latency-, not bandwidth-bound).
+    """
+    n_dev = mesh.devices.size
+
+    def step(p, q):  # (2^t, 4) EF fraction leaves, sharded on axis 0
+        # round-poly partials: computed from the ORIGINAL sharded leaves
+        def body2(p_l, q_l):
+            pp = p_l.reshape(-1, 2, 4)
+            qq = q_l.reshape(-1, 2, 4)
+            evals = []
+            for x in (1, 2, 3):
+                xs = jf.const(x)
+
+                def at_x(v):
+                    t0, t1 = v[:, 0], v[:, 1]
+                    if x == 1:
+                        return t1
+                    return jf.ext_add(t0, jf.ext_scale(jf.ext_sub(t1, t0), xs))
+
+                px, qx = at_x(pp), at_x(qq)
+                val = jf.ext_sum(jf.ext_mul(px, qx), axis=0)
+                evals.append(val)
+            partial = jnp.stack(evals)  # (3, 4)
+            parts = jax.lax.all_gather(partial, AXIS)  # (A, 3, 4)
+            round_poly = jf.ext_sum(parts, axis=0)
+
+            # tree combine for the next layer root
+            p_c, q_c = p_l, q_l
+            while p_c.shape[0] > 1:
+                p0, p1 = p_c[0::2], p_c[1::2]
+                q0, q1 = q_c[0::2], q_c[1::2]
+                p_c = jf.ext_add(jf.ext_mul(p0, q1), jf.ext_mul(p1, q0))
+                q_c = jf.ext_mul(q0, q1)
+            ps = jax.lax.all_gather(p_c[0], AXIS)
+            qs = jax.lax.all_gather(q_c[0], AXIS)
+            while ps.shape[0] > 1:
+                p0, p1 = ps[0::2], ps[1::2]
+                q0, q1 = qs[0::2], qs[1::2]
+                ps = jf.ext_add(jf.ext_mul(p0, q1), jf.ext_mul(p1, q0))
+                qs = jf.ext_mul(q0, q1)
+            return ps[0], qs[0], round_poly
+
+        return shard_map(
+            body2,
+            mesh=mesh,
+            in_specs=(PSpec(AXIS, None), PSpec(AXIS, None)),
+            out_specs=(PSpec(), PSpec(), PSpec()),
+            check_rep=False,
+        )(p, q)
+
+    return jax.jit(step)
+
+
+def sharded_whir_fold_step(mesh: Mesh):
+    """Builds a jitted sharded WHIR step: one degree-2 sumcheck round of
+    sum_y f(y) * w(y) (partials psum'd) and the multilinear fold at a
+    replicated challenge. With contiguous hypercube sharding the fold pairs
+    (2y, 2y+1) are shard-local, so folding costs ZERO communication until
+    the poly fits on one chip."""
+    n_dev = mesh.devices.size
+
+    def step(f, w, alpha):  # (2^m, 4), (2^m, 4) sharded; alpha (4,) replicated
+        def body(f_l, w_l, a):
+            fp = f_l.reshape(-1, 2, 4)
+            wp = w_l.reshape(-1, 2, 4)
+            evals = []
+            for x in (1, 2):
+                xs = jf.const(x)
+
+                def at_x(v):
+                    t0, t1 = v[:, 0], v[:, 1]
+                    if x == 1:
+                        return t1
+                    return jf.ext_add(t0, jf.ext_scale(jf.ext_sub(t1, t0), xs))
+
+                val = jf.ext_sum(jf.ext_mul(at_x(fp), at_x(wp)), axis=0)
+                evals.append(val)
+            partial = jnp.stack(evals)  # (2, 4)
+            parts = jax.lax.all_gather(partial, AXIS)
+            round_evals = jf.ext_sum(parts, axis=0)
+
+            fold = lambda v: jf.ext_add(
+                v[:, 0], jf.ext_mul(jf.ext_sub(v[:, 1], v[:, 0]), a)
+            )
+            return fold(fp), fold(wp), round_evals
+
+        return shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(PSpec(AXIS, None), PSpec(AXIS, None), PSpec(None)),
+            out_specs=(PSpec(AXIS, None), PSpec(AXIS, None), PSpec()),
+            check_rep=False,
+        )(f, w, alpha)
+
+    return jax.jit(step)
