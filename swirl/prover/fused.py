@@ -214,12 +214,244 @@ def _fused_fn(backend, mpk, ctx, jit: bool = True):
     return wrapped, meta
 
 
+def _pack(meta, key, plain):
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree_util.tree_flatten(plain)
+    meta[key] = (treedef, [jnp.shape(l) for l in leaves])
+    flat = [jnp.ravel(jnp.asarray(l, jnp.uint32)) for l in leaves]
+    return jnp.concatenate(flat) if flat else jnp.zeros((0,), jnp.uint32)
+
+
+def _unpack(meta, key, flat):
+    treedef, shapes = meta[key]
+    flat = np.asarray(flat)
+    leaves = []
+    off = 0
+    for shape in shapes:
+        n = int(np.prod(shape)) if shape else 1
+        leaves.append(flat[off : off + n].reshape(shape))
+        off += n
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def _segmented_fn(backend, mpk, ctx):
+    """Four stage-level jitted programs with the device-sponge state (and
+    trace-time cursor constants) crossing between them: commit+preamble /
+    GKR+batch constraints / stacked reduction / WHIR.
+
+    Same zero-host-sync property as the monolithic program — the transcript
+    never leaves the device — but each stage compiles separately, bounding
+    XLA module size for tall traces (a monolithic compile can exhaust the
+    compile helper past ~2^16 rows)."""
+    import jax.numpy as jnp
+
+    from ..proof import TraceVData
+    from .backend import Coordinator, ProvingContext  # noqa: F401
+    from .logup_zerocheck import TraceProver, prove_zerocheck_and_logup
+    from .merkle import MerkleTree
+    from .stacked_pcs import StackedPcsData
+    from .stacked_reduction import prove_stacked_opening_reduction
+    from .whir import prove_whir_opening
+
+    params = mpk.params
+    num_airs = len(mpk.per_air)
+    meta = {}
+
+    def restore_transcript(state, key):
+        t = DeviceTranscript()
+        t.state = state
+        t.absorb_idx, t.sample_idx = meta[key]
+        return t
+
+    def save_cursor(t, key):
+        meta[key] = (t.absorb_idx, t.sample_idx)
+
+    def mk_data(layout, rpq, matrix, rs_matrix, layers):
+        return StackedPcsData(
+            layout=layout,
+            matrix=matrix,
+            rs_matrix=rs_matrix,
+            tree=MerkleTree(layers=list(layers), rows_per_query=rpq),
+            l_skip=params.l_skip,
+            n_stack=params.n_stack,
+            log_blowup=params.log_blowup,
+        )
+
+    def seg1(common_list):
+        with vmode.trace_mode():
+            t = DeviceTranscript()
+            t.observe_commit(mpk.vk_pre_hash)
+            common_commit, common_data = backend.commit_traces(common_list)
+            trace_vdata = [None] * num_airs
+            pvs = [[] for _ in range(num_airs)]
+            for (air_id, tc), arr in zip(ctx.per_trace, common_list):
+                trace_vdata[air_id] = TraceVData(
+                    log_height=int(arr.shape[1]).bit_length() - 1,
+                    cached_commitments=[c.commitment for c in tc.cached_mains],
+                )
+                pvs[air_id] = list(tc.public_values)
+            t.observe_commit(common_commit)
+            for air_id in range(num_airs):
+                pk = mpk.per_air[air_id]
+                vdata = trace_vdata[air_id]
+                if not pk.vk.is_required:
+                    t.observe(1 if vdata is not None else 0)
+                if vdata is not None:
+                    if pk.preprocessed_data is not None:
+                        t.observe_commit(pk.preprocessed_data.commitment)
+                    else:
+                        t.observe(vdata.log_height)
+                    for c in vdata.cached_commitments:
+                        t.observe_commit(c)
+                for pv in pvs[air_id]:
+                    t.observe(pv)
+        save_cursor(t, "cur1")
+        meta["layout"] = common_data.layout
+        meta["rpq"] = common_data.tree.rows_per_query
+        meta["num_layers"] = len(common_data.tree.layers)
+        return (
+            t.state,
+            _pack(meta, "commit", {"common_main_commit": common_commit}),
+            common_data.matrix,
+            common_data.rs_matrix,
+            tuple(common_data.tree.layers),
+        )
+
+    def seg2(state, common_list):
+        with vmode.trace_mode():
+            t = restore_transcript(state, "cur1")
+            traces = []
+            for air_id, tc in ctx.per_trace:
+                pk = mpk.per_air[air_id]
+                vk = pk.vk
+                cm = dict(zip([a for a, _ in ctx.per_trace], common_list))[air_id]
+                traces.append(
+                    TraceProver(
+                        air_id=air_id,
+                        dag=vk.symbolic_constraints,
+                        needs_next=vk.params.need_rot,
+                        d_air=vk.max_constraint_degree,
+                        public_values=list(tc.public_values),
+                        height=int(cm.shape[1]),
+                        n=int(cm.shape[1]).bit_length() - 1 - params.l_skip,
+                        preprocessed=(
+                            pk.preprocessed_data.trace
+                            if pk.preprocessed_data is not None
+                            else None
+                        ),
+                        cached=[cd.trace for cd in tc.cached_mains],
+                        common=cm,
+                    )
+                )
+            gkr_proof, batch_proof, r = prove_zerocheck_and_logup(
+                t, params, mpk.max_constraint_degree, traces
+            )
+        save_cursor(t, "cur2")
+        return (
+            t.state,
+            _pack(
+                meta,
+                "rap",
+                {"gkr": _to_plain(gkr_proof), "batch": _to_plain(batch_proof)},
+            ),
+            jnp.stack(r),
+        )
+
+    def stacked_datas(matrix, rs_matrix, layers):
+        datas = [
+            mk_data(meta["layout"], meta["rpq"], matrix, rs_matrix, layers)
+        ]
+        need_rot = [
+            [mpk.per_air[a].vk.params.need_rot for a, _ in ctx.per_trace]
+        ]
+        for air_id, tc in ctx.per_trace:
+            pk = mpk.per_air[air_id]
+            nr = pk.vk.params.need_rot
+            if pk.preprocessed_data is not None:
+                datas.append(pk.preprocessed_data.data)
+                need_rot.append([nr])
+            for cd in tc.cached_mains:
+                datas.append(cd.data)
+                need_rot.append([nr])
+        return datas, need_rot
+
+    def seg3(state, r_stack, matrix, rs_matrix, layers):
+        with vmode.trace_mode():
+            t = restore_transcript(state, "cur2")
+            datas, need_rot = stacked_datas(matrix, rs_matrix, layers)
+            r = [r_stack[i] for i in range(r_stack.shape[0])]
+            stacking_proof, u = prove_stacked_opening_reduction(
+                t, params, datas, need_rot, r
+            )
+        save_cursor(t, "cur3")
+        return (
+            t.state,
+            _pack(meta, "stacking", _to_plain(stacking_proof)),
+            jnp.stack(u),
+        )
+
+    def seg4(state, u_stack, matrix, rs_matrix, layers):
+        with vmode.trace_mode():
+            t = restore_transcript(state, "cur3")
+            datas, _ = stacked_datas(matrix, rs_matrix, layers)
+            from ..fields import text
+
+            u = [u_stack[i] for i in range(u_stack.shape[0])]
+            u_cube = []
+            cur = u[0]
+            for _ in range(params.l_skip):
+                u_cube.append(cur)
+                cur = text.emul(cur, cur)
+            u_cube.extend(u[1:])
+            whir_proof = prove_whir_opening(t, params, datas, u_cube)
+        return _pack(meta, "whir", _to_plain(whir_proof))
+
+    segs = (jax.jit(seg1), jax.jit(seg2), jax.jit(seg3), jax.jit(seg4))
+    return segs, meta
+
+
+def _prove_segmented(backend, mpk, ctx, trace_vdata, public_values) -> Proof:
+    cache = getattr(mpk, "_fused_cache", None)
+    if cache is None:
+        cache = {}
+        mpk._fused_cache = cache
+    key = ("seg",) + tuple(
+        (air_id, tc.height, int(tc.common_main.shape[0]))
+        for air_id, tc in ctx.per_trace
+    )
+    if key not in cache:
+        cache[key] = _segmented_fn(backend, mpk, ctx)
+    (s1, s2, s3, s4), meta = cache[key]
+
+    common = [tc.common_main for _, tc in ctx.per_trace]
+    state, commit_flat, matrix, rs_matrix, layers = s1(common)
+    state, rap_flat, r_stack = s2(state, common)
+    state, stacking_flat, u_stack = s3(state, r_stack, matrix, rs_matrix, layers)
+    whir_flat = s4(state, u_stack, matrix, rs_matrix, layers)
+
+    commit = _unpack(meta, "commit", commit_flat)
+    rap = _unpack(meta, "rap", rap_flat)
+    stacking = _unpack(meta, "stacking", stacking_flat)
+    whir = _unpack(meta, "whir", whir_flat)
+    plain = {
+        "common_main_commit": commit["common_main_commit"],
+        "gkr_proof": rap["gkr"],
+        "batch_constraint_proof": rap["batch"],
+        "stacking_proof": stacking,
+        "whir_proof": whir,
+    }
+    return _rebuild_proof(plain, trace_vdata, public_values)
+
+
 def prove_fused(backend, mpk, unsorted_ctx, mode: str = "jit") -> Proof:
     """Device-resident prove; byte-identical to ``Coordinator.prove``.
 
     mode="jit": the whole proof is ONE compiled XLA program (compile once
     per shape, best steady-state latency; compile cost grows with the round
     count).
+    mode="segmented": four stage-level programs with the sponge state
+    carried across — bounded compile size for tall traces.
     mode="eager": the same trace-mode pipeline runs op-by-op with async
     dispatch — the transcript and every intermediate stay on device, there
     are ZERO host round-trips until the single final proof fetch, and
@@ -240,6 +472,8 @@ def prove_fused(backend, mpk, unsorted_ctx, mode: str = "jit") -> Proof:
         public_values[air_id] = list(tc.public_values)
 
     common = [tc.common_main for _, tc in ctx.per_trace]
+    if mode == "segmented":
+        return _prove_segmented(backend, mpk, ctx, trace_vdata, public_values)
     fn, meta = _fused_fn(backend, mpk, ctx, jit=(mode == "jit"))
     flat = np.asarray(fn(common))  # one transfer for the whole proof
     leaves = []
