@@ -92,7 +92,7 @@ def main() -> int:
                     proof = eng.prove(dpk, ctx)
             dt = time.time() - t0
             if best is None or dt < best[0]:
-                best = (dt, snap())
+                best = (dt, snap.snapshot())
         prove_s, spans = best
         eng.verify(vk, proof)
         cells = (1 << shape.log_height) * air.common_main_width()

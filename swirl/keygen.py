@@ -348,3 +348,29 @@ class MultiStarkKeygenBuilder:
             max_constraint_degree=self.params.max_constraint_degree,
             vk_pre_hash=pre_hash,
         )
+
+
+def find_unused_vars(air: Air) -> List[Tuple[str, int, int]]:
+    """Trace cells never referenced by any constraint or interaction.
+
+    Peer of the reference ``keygen/mod.rs:371``: unused columns silently
+    weaken an AIR (they are committed but unconstrained), so keygen
+    surfaces them as (entry, part, index) triples for the AIR author.
+    """
+    width = _air_widths(air)
+    builder = run_symbolic(air, width)
+    dag = builder.build_dag()
+    used = set()
+    for n in dag.nodes:
+        if n[0] == "var" and n[1] in ("preprocessed", "main"):
+            used.add((n[1], n[2], n[4]))
+    unused = []
+    if width.preprocessed:
+        for i in range(width.preprocessed):
+            if ("preprocessed", 0, i) not in used:
+                unused.append(("preprocessed", 0, i))
+    for part, w in enumerate(width.main_widths()):
+        for i in range(w):
+            if ("main", part, i) not in used:
+                unused.append(("main", part, i))
+    return unused

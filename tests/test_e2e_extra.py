@@ -132,3 +132,27 @@ class TestProverConfig:
         eng = StarkEngine(test_system_params_small(2, 6, 2))
         cfg = eng.proving_memory_config()
         assert cfg.stacked_matrix_memory_bytes(1 << 12) > 0
+
+
+class TestKeygenDiagnostics:
+    def test_find_unused_vars(self):
+        from swirl.air import Air
+        from swirl.keygen import find_unused_vars
+        from swirl.testing.fixtures import FibonacciAir
+
+        assert find_unused_vars(FibonacciAir()) == []
+
+        class Wasteful(Air):
+            def name(self):
+                return "wasteful"
+
+            def common_main_width(self):
+                return 4
+
+            def eval(self, b):
+                row = b.common_main.local
+                b.assert_zero(row[0] * row[1] - row[1])
+
+        unused = find_unused_vars(Wasteful())
+        assert ("main", 0, 2) in unused and ("main", 0, 3) in unused
+        assert ("main", 0, 0) not in unused
