@@ -34,7 +34,9 @@ def main() -> int:
     ap.add_argument("--l-skip", type=int, default=4)
     ap.add_argument("--k-whir", type=int, default=4)
     ap.add_argument("--fused", action="store_true",
-                    help="use the fused single-program prover (TPU)")
+                    help="use the fused device-resident prover (TPU)")
+    ap.add_argument("--fused-mode", default="eager",
+                    choices=["jit", "segmented", "eager"])
     ap.add_argument("--repeats", type=int, default=1)
     args = ap.parse_args()
 
@@ -87,7 +89,7 @@ def main() -> int:
                 if args.fused:
                     from swirl.prover.fused import prove_fused
 
-                    proof = prove_fused(eng.backend, dpk, ctx)
+                    proof = prove_fused(eng.backend, dpk, ctx, mode=args.fused_mode)
                 else:
                     proof = eng.prove(dpk, ctx)
             dt = time.time() - t0
