@@ -46,11 +46,23 @@ class MetricsCollector:
 
 @contextlib.contextmanager
 def span(name: str):
-    """Timing span: accumulates into every active collector."""
+    """Timing span: accumulates into every active collector, and shows up
+    as a named range in ``jax.profiler`` traces (the TPU counterpart of the
+    reference's NVTX layer, ``stark-sdk/src/nvtx_tracing.rs``)."""
     t0 = time.perf_counter()
+    annotation = None
+    try:
+        import jax.profiler
+
+        annotation = jax.profiler.TraceAnnotation(name)
+        annotation.__enter__()
+    except Exception:
+        annotation = None
     try:
         yield
     finally:
+        if annotation is not None:
+            annotation.__exit__(None, None, None)
         ms = (time.perf_counter() - t0) * 1e3
         for c in _ACTIVE:
             c.add_time_ms(name, ms)

@@ -156,3 +156,55 @@ class TestKeygenDiagnostics:
         unused = find_unused_vars(Wasteful())
         assert ("main", 0, 2) in unused and ("main", 0, 3) in unused
         assert ("main", 0, 0) not in unused
+
+
+class TestPipelineDecomposition:
+    """Run the prover only up to the batch-constraint stage and verify that
+    stage in isolation (reference lib.rs:378-565), including the q0-claim
+    malleability negative (lib.rs:427-480)."""
+
+    def _setup(self, h=32):
+        from swirl.engine import StarkEngine
+        from swirl.params import test_system_params_small
+        from swirl.prover.backend import ProvingContext
+        from swirl.testing.fixtures import SelfInteractionAir
+
+        air = SelfInteractionAir(width=4)
+        eng = StarkEngine(test_system_params_small(2, 5, 2))
+        pk, vk = eng.keygen([air])
+        ctx = ProvingContext([eng.context_for(0, air.generate_trace(h), [], [])])
+        dpk = eng.transport_pk(pk)
+        return eng, vk, dpk, ctx
+
+    def test_stage_roundtrip(self):
+        from swirl.testing.pipeline import (
+            prove_up_to_batch_constraints,
+            verify_up_to_batch_constraints,
+        )
+
+        eng, vk, dpk, ctx = self._setup()
+        commit, vdata, pvs, gkr, batch, r, _t = prove_up_to_batch_constraints(
+            eng.backend, dpk, ctx
+        )
+        verify_up_to_batch_constraints(vk, commit, vdata, pvs, gkr, batch)
+
+    def test_tampered_q0_rejected_at_stage(self):
+        import numpy as np
+        import pytest
+
+        from swirl.testing.pipeline import (
+            prove_up_to_batch_constraints,
+            verify_up_to_batch_constraints,
+        )
+        from swirl.verifier.batch_constraints import BatchConstraintError
+        from swirl.verifier.gkr import GkrError
+
+        eng, vk, dpk, ctx = self._setup()
+        commit, vdata, pvs, gkr, batch, r, _t = prove_up_to_batch_constraints(
+            eng.backend, dpk, ctx
+        )
+        gkr.q0_claim = (gkr.q0_claim + np.uint64(1)) % np.uint64(
+            (1 << 31) - (1 << 27) + 1
+        )
+        with pytest.raises((BatchConstraintError, GkrError)):
+            verify_up_to_batch_constraints(vk, commit, vdata, pvs, gkr, batch)
