@@ -36,6 +36,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from swirl.prover.fused import enable_compile_cache
+
+    enable_compile_cache()  # reuse compiles across bench runs/rounds
+
     from swirl.fields import jfield as jf
     from swirl.fields.babybear import P
     from swirl.prover.commit_kernel import commit_kernel
