@@ -73,7 +73,19 @@ def poseidon2_round_constants(
     internal: list of r_p ints (partial rounds add a constant to lane 0 only).
     """
     g = GrainLFSR(field=1, sbox=0, n=n_bits, t=t, r_f=r_f, r_p=r_p)
-    rows = [[g.next_field_element(n_bits, p) for _ in range(t)] for _ in range(r_f)]
-    internal = [g.next_field_element(n_bits, p) for _ in range(r_p)]
+    # Draw order (validated against the reference's vendored RC16 table,
+    # crates/cuda-common/include/poseidon2.cuh:14-47): constants are drawn
+    # in ROUND order, with partial rounds drawing a SINGLE element each
+    # (zkhash stores partial rows as [c, 0, ..., 0]):
+    #   r_f/2 full t-wide rows, then r_p single elements, then r_f/2 rows.
+    # tests/test_hash_transcript.py pins this generator to the vendored
+    # reference table for the BabyBear-16 instance.
     half = r_f // 2
-    return rows[:half], internal, rows[half:]
+    initial = [
+        [g.next_field_element(n_bits, p) for _ in range(t)] for _ in range(half)
+    ]
+    internal = [g.next_field_element(n_bits, p) for _ in range(r_p)]
+    final = [
+        [g.next_field_element(n_bits, p) for _ in range(t)] for _ in range(half)
+    ]
+    return initial, internal, final

@@ -1,21 +1,23 @@
 """Multi-field hasher + transcript: BabyBear data, BN254 Poseidon2 sponge.
 
-Peer of the reference's outer-recursion hashing tier: ``MultiFieldHasher``
-(``crates/stark-backend/src/hasher.rs:87``, packing BabyBear felts into
-BN254 scalars before hashing) and ``MultiFieldTranscript``
-(``crates/stark-backend/src/transcript/multi_field.rs:25``, a BN254 duplex
-sponge that absorbs packed BabyBear felts and unpacks samples back into
-BabyBear challenges).
+Bit-exact peer of the reference's outer-recursion hashing tier:
 
-Packing: 8 BabyBear felts (31 bits each, 248 bits total) little-endian per
-BN254 scalar. Sampling: one squeezed BN254 scalar yields four BabyBear
-samples, each reduced from a disjoint 62-bit window (bias <= 2^-31, same
-envelope as the reference's ``sample_bits`` bias analysis,
-``transcript/traits.rs:33-52``).
+- ``MultiFieldHasher`` (``crates/stark-backend/src/hasher.rs:87-137``):
+  packs BabyBear felts into BN254 scalars at base ``2^31`` (little-endian
+  Horner, 8 felts per scalar — ``multi_field_packing.rs:31-39``) and hashes
+  with the width-3 permutation; per 16-felt block the two packed scalars
+  OVERWRITE state lanes 0/1, then one permutation. Digest = state[0].
+- ``MultiFieldTranscript`` (``transcript/multi_field.rs:25-180``): a BN254
+  duplex sponge (width 3, rate 2, overwrite mode — the same state machine as
+  ``duplex_sponge.rs:16``) that buffers BabyBear observes 8-at-a-time into
+  packed scalars and expands each squeezed scalar into 5 base-p digits
+  (LSB-first, ``extract_samples`` / ``compute_num_samples_per_elem`` with
+  BIAS_BITS=100).
 
 Digests are a single BN254 scalar (vs ``[BabyBear; 8]`` in the inner
 scheme), which is what makes the outer proof cheap to verify in a BN254
-SNARK circuit.
+SNARK circuit. BN254 arithmetic is host-side Python ints by design (outer
+proofs are tiny; only grinding is worth accelerating).
 """
 
 from __future__ import annotations
@@ -25,16 +27,16 @@ from typing import List, Sequence
 import numpy as np
 
 from ..fields.babybear import P
-from .bn254_poseidon2 import P_BN254, compress2, hash_scalars, permute
+from .bn254_poseidon2 import P_BN254, compress2, permute
 
-FELTS_PER_SCALAR = 8
+FELTS_PER_SCALAR = 8  # floor(254 / 31); 2^248 < P_BN254 keeps packing injective
 FELT_BITS = 31
-SAMPLES_PER_SCALAR = 4
-SAMPLE_BITS = 62
+SAMPLES_PER_SCALAR = 5  # largest k with p^k * 2^98 <= P_BN254 (BIAS_BITS=100)
 EF_D = 4
 
 RATE = 2
 WIDTH = 3
+BABY_BEAR_RATE = 16  # sponge rate in felts: RATE * FELTS_PER_SCALAR
 
 
 def pack_felts(vals: Sequence[int]) -> List[int]:
@@ -53,8 +55,16 @@ class MultiFieldHasher:
 
     @staticmethod
     def hash_slice(vals) -> int:
+        """`MultiFieldHasher::hash_iter` (hasher.rs:119-136): per 16-felt
+        block, overwrite state[i] with packed scalar i, then permute."""
         flat = [int(v) for v in np.asarray(vals, dtype=np.uint64).ravel()]
-        return hash_scalars(pack_felts(flat))
+        state = [0] * WIDTH
+        for i in range(0, len(flat), BABY_BEAR_RATE):
+            block = flat[i : i + BABY_BEAR_RATE]
+            for chunk_id, packed in enumerate(pack_felts(block)):
+                state[chunk_id] = packed
+            state = permute(state, WIDTH)
+        return state[0]
 
     @staticmethod
     def compress(left: int, right: int) -> int:
@@ -73,6 +83,34 @@ class MultiFieldHasher:
         return layer[0]
 
 
+class _Bn254DuplexSponge:
+    """Overwrite-mode duplex sponge over BN254, width 3 / rate 2 — the exact
+    state machine of ``transcript/duplex_sponge.rs:16-84``."""
+
+    __slots__ = ("state", "absorb_idx", "sample_idx")
+
+    def __init__(self):
+        self.state = [0] * WIDTH
+        self.absorb_idx = 0
+        self.sample_idx = 0
+
+    def absorb(self, value: int) -> None:
+        self.state[self.absorb_idx] = value % P_BN254
+        self.absorb_idx += 1
+        if self.absorb_idx == RATE:
+            self.state = permute(self.state, WIDTH)
+            self.absorb_idx = 0
+            self.sample_idx = RATE
+
+    def squeeze(self) -> int:
+        if self.absorb_idx != 0 or self.sample_idx == 0:
+            self.state = permute(self.state, WIDTH)
+            self.absorb_idx = 0
+            self.sample_idx = RATE
+        self.sample_idx -= 1
+        return self.state[self.sample_idx]
+
+
 class MultiFieldTranscript:
     """Duplex-sponge Fiat-Shamir over BN254 absorbing/squeezing BabyBear.
 
@@ -82,29 +120,25 @@ class MultiFieldTranscript:
     sample_bits, check_witness/grind.
     """
 
-    __slots__ = ("state", "_obs_buf", "_samples", "log", "_record")
+    __slots__ = ("_sponge", "_obs_buf", "_samples", "log", "_record")
 
     def __init__(self, record: bool = False):
-        self.state = [0] * WIDTH
+        self._sponge = _Bn254DuplexSponge()
         self._obs_buf: List[int] = []  # pending BabyBear felts (< 8)
-        self._samples: List[int] = []  # unpacked BabyBear samples available
+        self._samples: List[int] = []  # buffered digits, pop() returns next
         self._record = record
         self.log = [] if record else None
 
     def clone(self) -> "MultiFieldTranscript":
         t = MultiFieldTranscript()
-        t.state = list(self.state)
+        t._sponge.state = list(self._sponge.state)
+        t._sponge.absorb_idx = self._sponge.absorb_idx
+        t._sponge.sample_idx = self._sponge.sample_idx
         t._obs_buf = list(self._obs_buf)
         t._samples = list(self._samples)
         return t
 
     # -- absorb ------------------------------------------------------------
-
-    def _absorb_scalar(self, v: int) -> None:
-        # overwrite-mode duplex at rate 2: buffer one scalar, permute on 2
-        self.state[0] = self.state[1]
-        self.state[1] = v % P_BN254
-        self.state = permute(self.state, WIDTH)
 
     def observe(self, value) -> None:
         v = int(value) % P
@@ -113,7 +147,7 @@ class MultiFieldTranscript:
         self._samples.clear()
         self._obs_buf.append(v)
         if len(self._obs_buf) == FELTS_PER_SCALAR:
-            self._absorb_scalar(pack_felts(self._obs_buf)[0])
+            self._sponge.absorb(pack_felts(self._obs_buf)[0])
             self._obs_buf.clear()
 
     def observe_slice(self, values) -> None:
@@ -126,31 +160,32 @@ class MultiFieldTranscript:
         self.observe_slice(v)
 
     def observe_commit(self, digest) -> None:
-        """Observe a BN254 digest (int) or an inner [F;8] digest array."""
-        if isinstance(digest, (int, np.integer)):
-            self._flush()
-            self._samples.clear()
-            self._absorb_scalar(int(digest))
-        else:
-            self.observe_slice(digest)
+        """Observe a BN254 digest (int): `absorb_slice` semantics —
+        invalidate samples, flush pending observes, absorb directly."""
+        assert isinstance(digest, (int, np.integer)), "outer digests are scalars"
+        self._samples.clear()
+        self._flush()
+        self._sponge.absorb(int(digest))
 
     def _flush(self) -> None:
         if self._obs_buf:
-            self._absorb_scalar(pack_felts(self._obs_buf)[0])
+            self._sponge.absorb(pack_felts(self._obs_buf)[0])
             self._obs_buf.clear()
 
     # -- squeeze -----------------------------------------------------------
 
     def sample(self) -> int:
-        if self._obs_buf or not self._samples:
+        if not self._samples:
             self._flush()
-            self.state = permute(self.state, WIDTH)
-            out = self.state[0]
-            self._samples = [
-                (out >> (SAMPLE_BITS * i)) & ((1 << SAMPLE_BITS) - 1)
-                for i in range(SAMPLES_PER_SCALAR)
-            ]
-        v = self._samples.pop() % P
+            x = self._sponge.squeeze()
+            # extract_samples: k base-p digits, LSB-first; reversed so that
+            # pop() yields b_0 first (transcript/multi_field.rs:122-131).
+            digits = []
+            for _ in range(SAMPLES_PER_SCALAR):
+                digits.append(x % P)
+                x //= P
+            self._samples = list(reversed(digits))
+        v = self._samples.pop()
         if self._record:
             self.log.append(("sample", v))
         return v

@@ -12,11 +12,12 @@ M_E is the circulant ``circ(2*M4, M4, ..., M4)``: apply the 4x4 MDS block M4
 to each 4-lane chunk, then add the per-position column sums across chunks.
 M_I is ``J + diag(d)`` (J = all-ones): ``s_i' = sum(s) + d_i * s_i``.
 
-Round constants are generated by the documented Grain-LFSR procedure
-(:mod:`swirl.hash.grain`); the internal diagonal uses Plonky3's
-power-of-two-friendly BabyBear diagonal. Both live in ``CONSTANTS`` below as
-a plain table, so swapping in a different instance (e.g. for byte-exact
-parity with an external verifier) is a one-file change.
+Round constants are the vendored HorizenLabs/Plonky3 ``RC16`` instance
+(:mod:`swirl.hash.constants` — reference parity, see that module's docstring);
+the internal diagonal is Plonky3's power-of-two-friendly BabyBear diagonal
+(``crates/cuda-common/include/poseidon2.cuh:50-67``). All device/native
+implementations (jposeidon2, Pallas, C++ host kernels) pull from
+:func:`constants` below, so the table is defined exactly once.
 """
 
 from __future__ import annotations
@@ -26,7 +27,7 @@ from functools import lru_cache
 import numpy as np
 
 from ..fields.babybear import P, U64
-from .grain import poseidon2_round_constants
+from . import constants as _rc
 
 WIDTH = 16
 RATE = 8
@@ -61,13 +62,12 @@ INTERNAL_DIAG = [
 
 @lru_cache(maxsize=None)
 def constants():
-    ext_init, internal, ext_final = poseidon2_round_constants(
-        P, N_BITS, WIDTH, FULL_ROUNDS, PARTIAL_ROUNDS
-    )
+    """Round-constant tables (canonical uint64): the vendored reference-parity
+    HorizenLabs/Plonky3 RC16 instance (see :mod:`swirl.hash.constants`)."""
     return (
-        np.array(ext_init, dtype=np.uint64),
-        np.array(internal, dtype=np.uint64),
-        np.array(ext_final, dtype=np.uint64),
+        np.array(_rc.EXTERNAL_INITIAL, dtype=np.uint64),
+        np.array(_rc.INTERNAL, dtype=np.uint64),
+        np.array(_rc.EXTERNAL_FINAL, dtype=np.uint64),
         np.array(INTERNAL_DIAG, dtype=np.uint64),
     )
 
@@ -180,7 +180,7 @@ def hash_rows_np(mat: np.ndarray) -> np.ndarray:
     n, w = mat.shape
     state = np.zeros((n, WIDTH), dtype=np.uint64)
     if w == 0:
-        state = permute_np(state)
+        # p3 PaddingFreeSponge on empty input: no permutation, zero digest.
         return state[:, :DIGEST]
     for i in range(0, w, RATE):
         chunk = mat[:, i : i + RATE]
