@@ -1,10 +1,21 @@
 """Versioned byte-level encoding/decoding of proofs (recursion-friendly).
 
-Mirrors the role of the reference codec (``crates/stark-backend/src/
-codec.rs`` + ``proof.rs`` Encode/Decode impls): explicit, versioned,
-non-self-describing byte layout where all lengths are either explicit
-varints or derivable from earlier fields; field elements are fixed-width
-little-endian u32, digests are 8 field elements.
+The proof codec reproduces the reference byte layout EXACTLY
+(``crates/stark-backend/src/codec.rs`` primitives + ``proof.rs:224-446``
+Encode/Decode impls, ``CODEC_VERSION = 3``): a proof encoded here
+byte-decodes under the reference ``Decode`` and vice versa. Conventions:
+
+- ``usize``/lengths: u32 little-endian (codec.rs:197-201)
+- F: canonical u32 LE, decode rejects values >= p (codec.rs:213-232)
+- EF: 4 base coefficients; Digest: 8 F values, no length prefix
+- ``Vec<T>``: u32 length + elements; fixed arrays: elements only
+- trace_vdata: count + presence bitmap (LSB-first per byte, canonical
+  zero padding) + present entries (proof.rs:230-246)
+- GKR sumcheck poly shape, WHIR round/row shapes are derived, not encoded
+  (see the per-section comments below).
+
+The vk codec further down is swirl's own layout (the reference serializes
+vks with serde/postcard, not the byte codec — ``keygen/mod.rs:198-216``).
 """
 
 from __future__ import annotations
@@ -26,7 +37,9 @@ from .proof import (
     WhirProof,
 )
 
-CODEC_VERSION = 1
+# Reference codec version (proof.rs:224). The proof byte layout below is the
+# reference's; bump only in lock-step with the reference format.
+CODEC_VERSION = 3
 
 
 class CodecError(Exception):
@@ -48,14 +61,27 @@ def _r_u32(buf) -> int:
 
 
 def _w_usize(buf, v: int):
-    buf.write(struct.pack("<Q", v))
+    # usize encodes as u32 LE (codec.rs:197-201); lengths must fit.
+    if not 0 <= v < (1 << 32):
+        raise CodecError("usize out of u32 range")
+    buf.write(struct.pack("<I", v))
 
 
 def _r_usize(buf) -> int:
-    b = buf.read(8)
-    if len(b) != 8:
+    return _r_u32(buf)
+
+
+def _w_bool(buf, v: bool):
+    buf.write(b"\x01" if v else b"\x00")
+
+
+def _r_bool(buf) -> bool:
+    b = buf.read(1)
+    if len(b) != 1:
         raise CodecError("unexpected EOF")
-    return struct.unpack("<Q", b)[0]
+    if b not in (b"\x00", b"\x01"):
+        raise CodecError("non-canonical bool byte")
+    return b == b"\x01"
 
 
 def _w_felt(buf, v: int):
@@ -180,28 +206,46 @@ def encode_proof(proof: Proof) -> bytes:
     for pair in w.whir_sumcheck_polys:
         _w_ef(buf, pair[0])
         _w_ef(buf, pair[1])
+    num_whir_sumcheck_rounds = len(w.whir_sumcheck_polys)
     _w_usize(buf, len(w.codeword_commits))
     for c in w.codeword_commits:
         _w_digest(buf, c)
     for v in w.ood_values:
         _w_ef(buf, v)
+    num_whir_rounds = len(w.codeword_commits) + 1
+    if num_whir_sumcheck_rounds % num_whir_rounds != 0:
+        raise CodecError(
+            "num_whir_sumcheck_rounds must be a multiple of num_whir_rounds"
+        )
+    if num_whir_rounds != len(w.query_phase_pow_witnesses):
+        raise CodecError("query_phase_pow_witnesses length mismatch")
     for pw in w.folding_pow_witnesses:
         _w_felt(buf, pw)
     for pw in w.query_phase_pow_witnesses:
         _w_felt(buf, pw)
 
+    # Initial round (proof.rs:352-398): num_commits, num_queries, then — only
+    # when queries exist — merkle depth, ALL per-commit stacked widths, ALL
+    # opened rows (no per-row prefixes), then ALL merkle proofs.
     num_commits = len(w.initial_round_opened_rows)
+    if num_commits == 0:
+        raise CodecError("num_commits must be nonzero")
     _w_usize(buf, num_commits)
-    nq0 = len(w.initial_round_opened_rows[0]) if num_commits else 0
+    nq0 = len(w.initial_round_opened_rows[0])
     _w_usize(buf, nq0)
     if nq0 > 0:
         depth = len(w.initial_round_merkle_proofs[0][0])
         _w_usize(buf, depth)
-        k_exp = w.initial_round_opened_rows[0][0].shape[0]
-        _w_usize(buf, k_exp)
+        widths = []
         for commit_rows in w.initial_round_opened_rows:
-            width = commit_rows[0].shape[1] if commit_rows else 0
+            width = (
+                np.asarray(commit_rows[0]).shape[-1]
+                if commit_rows and np.asarray(commit_rows[0]).size
+                else 0
+            )
+            widths.append(width)
             _w_usize(buf, width)
+        for commit_rows in w.initial_round_opened_rows:
             for rows in commit_rows:
                 for row in np.asarray(rows).reshape(-1):
                     _w_felt(buf, int(row))
@@ -210,16 +254,20 @@ def encode_proof(proof: Proof) -> bytes:
                 for d in pf:
                     _w_digest(buf, d)
 
-    _w_usize(buf, len(w.codeword_opened_values))
+    # Non-initial rounds: outer length (= num_whir_rounds - 1) is derived
+    # from codeword_commits, NOT encoded (proof.rs:400-407).
     for rnd_vals in w.codeword_opened_values:
         _w_usize(buf, len(rnd_vals))
         for vals in rnd_vals:
             for v in np.asarray(vals).reshape(-1, 4):
                 _w_ef(buf, v)
-    if w.codeword_merkle_proofs and w.codeword_merkle_proofs[0]:
-        _w_usize(buf, len(w.codeword_merkle_proofs[0][0]))
+    # First non-initial merkle depth; later rounds are one shallower each
+    # (proof.rs:409-421).
+    if len(w.codeword_commits) > 0 and nq0 > 0:
+        first_depth = len(w.codeword_merkle_proofs[0][0])
     else:
-        _w_usize(buf, 0)
+        first_depth = 0
+    _w_usize(buf, first_depth)
     for rnd_proofs in w.codeword_merkle_proofs:
         for pf in rnd_proofs:
             for d in pf:
@@ -327,15 +375,24 @@ def decode_proof(data: bytes) -> Proof:
     fold_pows = [_r_felt(buf) for _ in range(n_ws)]
     query_pows = [_r_felt(buf) for _ in range(num_whir_rounds)]
 
+    if n_ws % num_whir_rounds != 0:
+        raise CodecError(
+            "num_whir_sumcheck_rounds must be a multiple of num_whir_rounds"
+        )
+    k_whir = n_ws // num_whir_rounds
+    k_exp = 1 << k_whir
+
     n_commits = _r_usize(buf)
+    if n_commits == 0:
+        raise CodecError("num_commits must be nonzero")
     nq0 = _r_usize(buf)
     init_rows: List[List[np.ndarray]] = [[] for _ in range(n_commits)]
     init_proofs: List[List[List[np.ndarray]]] = [[] for _ in range(n_commits)]
     if nq0 > 0:
         depth = _r_usize(buf)
-        k_exp = _r_usize(buf)
+        widths = [_r_usize(buf) for _ in range(n_commits)]
         for c in range(n_commits):
-            width = _r_usize(buf)
+            width = widths[c]
             for _ in range(nq0):
                 vals = np.array(
                     [_r_felt(buf) for _ in range(k_exp * width)], dtype=np.uint64
@@ -345,19 +402,13 @@ def decode_proof(data: bytes) -> Proof:
             for _ in range(nq0):
                 init_proofs[c].append([_r_digest(buf) for _ in range(depth)])
 
-    n_cw_rounds = _r_usize(buf)
+    # num_whir_rounds - 1 non-initial rounds; length derived, not encoded.
     cw_opened = []
-    if n_ws and num_whir_rounds:
-        k_whir = n_ws // num_whir_rounds
-    else:
-        k_whir = 0
-    for _ in range(n_cw_rounds):
+    for _ in range(num_whir_rounds - 1):
         nq = _r_usize(buf)
         vals_round = []
         for _ in range(nq):
-            vals_round.append(
-                np.stack([_r_ef(buf) for _ in range(1 << k_whir)])
-            )
+            vals_round.append(np.stack([_r_ef(buf) for _ in range(k_exp)]))
         cw_opened.append(vals_round)
     depth0 = _r_usize(buf)
     cw_proofs = []
@@ -587,16 +638,14 @@ def encode_vk(mvk) -> bytes:
             _w_usize(buf, c)
         _w_usize(buf, w.common_main)
         _w_usize(buf, vk.params.num_public_values)
-        buf.write(bytes([1 if vk.params.need_rot else 0]))
+        _w_bool(buf, vk.params.need_rot)
         _w_usize(buf, vk.max_constraint_degree)
-        buf.write(bytes([1 if vk.is_required else 0]))
+        _w_bool(buf, vk.is_required)
+        _w_bool(buf, vk.preprocessed_data is not None)
         if vk.preprocessed_data is not None:
-            buf.write(b"\x01")
             _w_digest(buf, vk.preprocessed_data.commit)
             _w_i64(buf, vk.preprocessed_data.hypercube_dim)
             _w_usize(buf, vk.preprocessed_data.stacking_width)
-        else:
-            buf.write(b"\x00")
         _encode_dag(buf, vk.symbolic_constraints)
     _w_usize(buf, len(mvk.trace_height_constraints))
     for c in mvk.trace_height_constraints:
@@ -629,11 +678,11 @@ def decode_vk(data: bytes):
         cached = [_r_usize(buf) for _ in range(_r_usize(buf))]
         common = _r_usize(buf)
         npv = _r_usize(buf)
-        need_rot = buf.read(1) == b"\x01"
+        need_rot = _r_bool(buf)
         maxd = _r_usize(buf)
-        is_required = buf.read(1) == b"\x01"
+        is_required = _r_bool(buf)
         prep = None
-        if buf.read(1) == b"\x01":
+        if _r_bool(buf):
             prep = VerifierPreprocessedData(
                 commit=_r_digest(buf),
                 hypercube_dim=_r_i64(buf),

@@ -145,16 +145,52 @@ def _rebuild_proof(plain, trace_vdata, public_values) -> Proof:
     )
 
 
-def enable_compile_cache(path: str = "/root/repo/.jax_cache") -> None:
+def enable_compile_cache(path: str | None = None) -> None:
     """Point JAX's persistent compilation cache at a repo-local dir so the
-    fused program compiles once per (shape, params) per machine."""
+    fused program compiles once per (shape, params) per machine.
+
+    Default location: ``$SWIRL_JAX_CACHE``, else ``.jax_cache`` next to the
+    package (derived from ``__file__``, not a hardcoded checkout path)."""
+    import os
+
+    if path is None:
+        path = os.environ.get("SWIRL_JAX_CACHE") or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            ".jax_cache",
+        )
     if jax.config.jax_compilation_cache_dir is None:
-        os_makedirs = __import__("os").makedirs
-        os_makedirs(path, exist_ok=True)
+        os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         # cache EVERYTHING: on a remote-compile setup (axon) even sub-second
         # modules pay a round trip to the compile helper
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def _ctx_cache_key(tag, ctx) -> tuple:
+    """Cache key for the per-mpk fused/segmented program cache.
+
+    The traced function closes over each trace's public values and
+    cached-main trace data as trace-time constants, so those must be part
+    of the key — two contexts with identical shapes but different public
+    values or cached commitments are different programs (a stale closure
+    would absorb the old values into the transcript while the assembled
+    proof carries the new ones)."""
+    parts = [tag]
+    for air_id, tc in ctx.per_trace:
+        cached_ids = tuple(
+            tuple(int(v) for v in np.asarray(cd.commitment).ravel())
+            for cd in tc.cached_mains
+        )
+        parts.append(
+            (
+                air_id,
+                tc.height,
+                int(tc.common_main.shape[0]),
+                tuple(int(p) for p in tc.public_values),
+                cached_ids,
+            )
+        )
+    return tuple(parts)
 
 
 def _fused_fn(backend, mpk, ctx, jit: bool = True):
@@ -162,10 +198,7 @@ def _fused_fn(backend, mpk, ctx, jit: bool = True):
     context shape (jitted single program, or the eager-async variant)."""
     from .backend import AirContext, Coordinator, ProvingContext
 
-    key = (jit,) + tuple(
-        (air_id, tc.height, int(tc.common_main.shape[0]))
-        for air_id, tc in ctx.per_trace
-    )
+    key = _ctx_cache_key(jit, ctx)
     cache = getattr(mpk, "_fused_cache", None)
     if cache is None:
         cache = {}
@@ -416,10 +449,7 @@ def _prove_segmented(backend, mpk, ctx, trace_vdata, public_values) -> Proof:
     if cache is None:
         cache = {}
         mpk._fused_cache = cache
-    key = ("seg",) + tuple(
-        (air_id, tc.height, int(tc.common_main.shape[0]))
-        for air_id, tc in ctx.per_trace
-    )
+    key = _ctx_cache_key("seg", ctx)
     if key not in cache:
         cache[key] = _segmented_fn(backend, mpk, ctx)
     (s1, s2, s3, s4), meta = cache[key]

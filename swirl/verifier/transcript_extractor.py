@@ -182,6 +182,8 @@ def extract_proof_from_transcript(
             )
             s.sample_ext()  # mu
         xi_len = total_rounds
+    if not n_per_trace:
+        raise ExtractionError("proof contains no traces (all trace_vdata None)")
     n_max = max(max(n_per_trace), 0)
     n_global = max(n_max, n_logup)
     for _ in range(l_skip + n_global - xi_len):

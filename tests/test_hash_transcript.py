@@ -21,16 +21,33 @@ class TestPoseidon2:
         for i in range(5):
             assert np.all(batched[i] == p2.permute_np(states[i]))
 
-    def test_grain_constants_deterministic(self):
-        a = p2.constants()
-        b = p2.constants()
-        assert np.all(a[0] == b[0])
-        assert a[0].shape == (4, 16)
-        assert a[1].shape == (13,)
-        assert a[2].shape == (4, 16)
-        # constants should look random (no zeros is overwhelmingly likely)
-        assert np.all(a[0] < P)
-        assert np.count_nonzero(a[0]) == a[0].size
+    def test_constants_are_reference_rc16(self):
+        """constants() must be the vendored HorizenLabs/Plonky3 RC16 table
+        (reference cuda-common/include/poseidon2.cuh:14-47)."""
+        ext_init, internal, ext_final, diag = p2.constants()
+        assert ext_init.shape == (4, 16)
+        assert internal.shape == (13,)
+        assert ext_final.shape == (4, 16)
+        # spot-pin a few values straight from the reference header
+        assert ext_init[0][0] == 1774958255
+        assert ext_init[3][15] == 506915399
+        assert internal[0] == 1518359488
+        assert internal[12] == 605745517
+        assert ext_final[0][0] == 1922082829
+        assert ext_final[3][15] == 1619482808
+        assert diag[0] == P - 2 and diag[14] == P - pow(16, P - 2, P)
+
+    def test_grain_reproduces_vendored_rc16(self):
+        """The Grain-LFSR generator (used for instances without a vendored
+        table, e.g. BN254 width-3 RC3) must reproduce the vendored BabyBear
+        RC16 exactly — this pins the generator's draw order and sampling."""
+        from swirl.hash import constants as rc
+        from swirl.hash.grain import poseidon2_round_constants
+
+        init, internal, final = poseidon2_round_constants(P, 31, 16, 8, 13)
+        assert init == [list(map(int, r)) for r in rc.EXTERNAL_INITIAL]
+        assert internal == list(rc.INTERNAL)
+        assert final == [list(map(int, r)) for r in rc.EXTERNAL_FINAL]
 
     def test_hash_slice_and_rows(self):
         rng = np.random.default_rng(1)
