@@ -11,6 +11,18 @@ Usage:
   python benchmarks/synthetic_runner.py --atlas shapes.json     # replay atlas
   python benchmarks/synthetic_runner.py --log-heights 12,14,16 --width 32
   python benchmarks/synthetic_runner.py --fused                 # one-XLA-program prover
+  python benchmarks/synthetic_runner.py \\
+      --reth-atlas benchmarks/reth-block-23992138-atlas.json \\
+      --sample-frac 0.1 --seed 42 --max-log-height 22           # reth replay
+
+The reth replay proves each sampled segment as ONE multi-trace proof over
+all its AIRs under the production app params (100-bit security), mirroring
+the reference ``synthetic_runner`` tiers (screening 0.1 / fail-fast 0.5 /
+full 1.0 — reference GPU prove totals 3.9 s / 21.6 s / 43.6 s,
+``benchmarks/synthetic/README.md:99-101``). The full 1.0 sweep is exactly
+the reference workload; sampled tiers use a documented Python sampler (the
+reference's rand-0.9 StdRng subset is not bit-reproduced), so compare
+sampled tiers only within swirl runs.
 """
 
 from __future__ import annotations
@@ -21,6 +33,86 @@ import sys
 import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def replay_reth(args) -> int:
+    """Segment-replay of the captured reth workload: one multi-trace proof
+    per sampled segment under the production app params."""
+    import math
+    import random
+
+    from swirl.engine import StarkEngine
+    from swirl.params import app_params_with_100_bits_security
+    from swirl.prover.backend import ProvingContext
+    from swirl.testing.synthetic import SyntheticAir, load_segment_atlas
+
+    segments = load_segment_atlas(args.reth_atlas, args.max_log_height)
+    total = len(segments)
+    n = math.ceil(total * args.sample_frac)
+    idxs = list(range(total))
+    random.Random(args.seed).shuffle(idxs)
+    sample = sorted(idxs[:n])
+
+    params = app_params_with_100_bits_security(args.max_log_height)
+    results = []
+    total_keygen_ms = 0.0
+    total_prove_ms = 0.0
+    for si in sample:
+        seg = segments[si]
+        airs = [SyntheticAir(s) for s in seg["shapes"]]
+        traces = [a.generate_trace() for a in airs]
+        eng = StarkEngine(params)
+        t0 = time.time()
+        pk, vk = eng.keygen(airs)
+        keygen_ms = (time.time() - t0) * 1e3
+        dpk = eng.transport_pk(pk)
+        ctx = ProvingContext(
+            [eng.context_for(i, tr, [], []) for i, tr in enumerate(traces)]
+        )
+        t0 = time.time()
+        if args.fused:
+            from swirl.prover.fused import prove_fused
+
+            proof = prove_fused(eng.backend, dpk, ctx, mode=args.fused_mode)
+        else:
+            proof = eng.prove(dpk, ctx)
+        prove_ms = (time.time() - t0) * 1e3
+        if args.verify:
+            eng.verify(vk, proof)
+        cells = sum(
+            (1 << s.log_height) * a.common_main_width()
+            for s, a in zip(seg["shapes"], airs)
+        )
+        total_keygen_ms += keygen_ms
+        total_prove_ms += prove_ms
+        rec = {
+            "segment_idx": seg["segment_idx"],
+            "num_airs": len(airs),
+            "total_main_cells": cells,
+            "keygen_ms": round(keygen_ms, 1),
+            "prove_ms": round(prove_ms, 1),
+            "clamped": seg["clamped"],
+        }
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    scorecard = {
+        "profile_path": args.reth_atlas,
+        "sample_frac": args.sample_frac,
+        "seed": args.seed,
+        "max_log_height": args.max_log_height,
+        "total_segments": total,
+        "sampled_segments": len(sample),
+        "skipped_segments": 0,
+        "total_keygen_ms": round(total_keygen_ms, 1),
+        "total_prove_ms": round(total_prove_ms, 1),
+        "results": results,
+    }
+    print(json.dumps(scorecard))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(scorecard, f, indent=1)
+    return 0
 
 
 def main() -> int:
@@ -38,7 +130,17 @@ def main() -> int:
     ap.add_argument("--fused-mode", default="eager",
                     choices=["jit", "segmented", "eager"])
     ap.add_argument("--repeats", type=int, default=1)
+    ap.add_argument("--reth-atlas", help="segment atlas JSON (benchmarks/reth_atlas.py)")
+    ap.add_argument("--sample-frac", type=float, default=0.1)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--max-log-height", type=int, default=22)
+    ap.add_argument("--out", help="write scorecard JSON here instead of stdout only")
+    ap.add_argument("--verify", action="store_true",
+                    help="also verify each segment proof (untimed)")
     args = ap.parse_args()
+
+    if args.reth_atlas:
+        return replay_reth(args)
 
     import numpy as np
 

@@ -647,6 +647,13 @@ def encode_vk(mvk) -> bytes:
             _w_i64(buf, vk.preprocessed_data.hypercube_dim)
             _w_usize(buf, vk.preprocessed_data.stacking_width)
         _encode_dag(buf, vk.symbolic_constraints)
+        unused = getattr(vk, "unused_variables", [])
+        _w_usize(buf, len(unused))
+        for entry, part, offset, index in unused:
+            _w_str(buf, entry)
+            _w_usize(buf, part)
+            _w_usize(buf, offset)
+            _w_usize(buf, index)
     _w_usize(buf, len(mvk.trace_height_constraints))
     for c in mvk.trace_height_constraints:
         _w_usize(buf, len(c.coefficients))
@@ -689,6 +696,10 @@ def decode_vk(data: bytes):
                 stacking_width=_r_usize(buf),
             )
         dag = _decode_dag(buf)
+        unused = [
+            (_r_str(buf), _r_usize(buf), _r_usize(buf), _r_usize(buf))
+            for _ in range(_r_usize(buf))
+        ]
         per_air.append(
             StarkVerifyingKey(
                 preprocessed_data=prep,
@@ -704,6 +715,7 @@ def decode_vk(data: bytes):
                 symbolic_constraints=dag,
                 max_constraint_degree=maxd,
                 is_required=is_required,
+                unused_variables=unused,
             )
         )
     constraints = []

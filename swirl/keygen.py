@@ -9,7 +9,6 @@ weak-Fiat-Shamir-protecting pre-hash binding the whole verifying key.
 
 from __future__ import annotations
 
-import hashlib
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Tuple
 
@@ -75,6 +74,10 @@ class StarkVerifyingKey:
     symbolic_constraints: ConstraintsDag
     max_constraint_degree: int
     is_required: bool
+    # ("preprocessed"|"main", part, offset, index) per variable never
+    # referenced by any constraint/interaction (keygen/types.rs:128
+    # `unused_variables`); offset 1 entries only appear when need_rot.
+    unused_variables: List[Tuple[str, int, int, int]] = field(default_factory=list)
 
     def num_parts(self) -> int:
         return (
@@ -173,16 +176,18 @@ def keygen_air(
         )
     max_rot = dag.max_rotation()
     assert max_rot <= 1, "only rotations by one row are supported"
+    need_rot = max_rot == 1
     vk = StarkVerifyingKey(
         preprocessed_data=None,  # filled by caller if preprocessed
         params=StarkVerifyingParams(
             width=width,
             num_public_values=air.num_public_values(),
-            need_rot=max_rot == 1,
+            need_rot=need_rot,
         ),
         symbolic_constraints=dag,
         max_constraint_degree=degree,
         is_required=is_required,
+        unused_variables=_unused_vars_of_dag(dag, width, need_rot),
     )
     return vk, air.preprocessed_trace()
 
@@ -213,89 +218,18 @@ def synthesize_trace_height_constraints(
     return minimized
 
 
-def _serialize_vk_bytes(
-    params: SystemParams,
-    vks: Sequence[StarkVerifyingKey],
-    constraints: Sequence[LinearConstraint],
-) -> bytes:
-    """Canonical byte serialization of the pre-vk (for the pre-hash only)."""
-    h = hashlib.sha256()
-
-    def put(*vals):
-        for v in vals:
-            if isinstance(v, bool):
-                h.update(bytes([1 if v else 0]))
-            elif isinstance(v, int):
-                h.update(int(v % (1 << 64)).to_bytes(8, "little", signed=False))
-            elif isinstance(v, str):
-                b = v.encode()
-                put(len(b))
-                h.update(b)
-            elif v is None:
-                h.update(b"\x00")
-            else:
-                raise TypeError(type(v))
-
-    put(
-        params.l_skip,
-        params.n_stack,
-        params.w_stack,
-        params.log_blowup,
-        params.max_constraint_degree,
-        params.whir.k,
-        params.whir.mu_pow_bits,
-        params.whir.query_phase_pow_bits,
-        params.whir.folding_pow_bits,
-        len(params.whir.rounds),
-    )
-    for r in params.whir.rounds:
-        put(r.num_queries)
-    put(
-        params.logup.max_interaction_count,
-        params.logup.log_max_message_length,
-        params.logup.pow_bits,
-    )
-    put(len(vks))
-    for vk in vks:
-        w = vk.params.width
-        put(w.preprocessed if w.preprocessed is not None else -1)
-        put(len(w.cached_mains), *w.cached_mains, w.common_main)
-        put(vk.params.num_public_values, vk.params.need_rot)
-        put(vk.max_constraint_degree, vk.is_required)
-        if vk.preprocessed_data is not None:
-            put(1, vk.preprocessed_data.hypercube_dim, vk.preprocessed_data.stacking_width)
-            for d in vk.preprocessed_data.commit:
-                put(int(d))
-        else:
-            put(0)
-        dag = vk.symbolic_constraints
-        put(len(dag.nodes))
-        for n in dag.nodes:
-            put(*[x if isinstance(x, (int, str, bool)) else str(x) for x in n])
-        put(len(dag.constraint_idx), *dag.constraint_idx)
-        put(len(dag.interactions))
-        for it in dag.interactions:
-            put(len(it.message), *it.message, it.count, it.bus_index, it.count_weight)
-    put(len(constraints))
-    for c in constraints:
-        put(len(c.coefficients), *c.coefficients, c.threshold)
-    return h.digest()
-
-
 def compute_vk_pre_hash(
     params: SystemParams,
     vks: Sequence[StarkVerifyingKey],
     constraints: Sequence[LinearConstraint],
 ) -> np.ndarray:
-    """Hash the canonical vk serialization into a native digest.
+    """Reference-parity weak-FS pre-hash (``keygen/mod.rs:198-216``):
+    hash_slice over the bytes of ``CODEC_VERSION (4 LE) ++ u64 LE length ++
+    postcard(pre_vk)``, each byte lifted to a field element."""
+    from .postcard_vk import versioned_pre_vk_bytes
 
-    The sha256 of the canonical byte form is absorbed (as bytes-as-field-
-    elements) into the native Poseidon2 hash, giving a digest the transcript
-    can observe directly (cf. reference ``keygen/mod.rs:198-216``, which
-    hashes a versioned postcard serialization with the native hasher).
-    """
-    digest_bytes = _serialize_vk_bytes(params, vks, constraints)
-    elems = np.frombuffer(digest_bytes, dtype=np.uint8).astype(np.uint64)
+    data = versioned_pre_vk_bytes(params, vks, constraints)
+    elems = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
     return hash_slice_np(elems)
 
 
@@ -350,27 +284,39 @@ class MultiStarkKeygenBuilder:
         )
 
 
-def find_unused_vars(air: Air) -> List[Tuple[str, int, int]]:
-    """Trace cells never referenced by any constraint or interaction.
+def _unused_vars_of_dag(
+    dag: ConstraintsDag, width: TraceWidth, need_rot: bool
+) -> List[Tuple[str, int, int, int]]:
+    """Variables never referenced at a given (entry, part, offset, index).
 
-    Peer of the reference ``keygen/mod.rs:371``: unused columns silently
-    weaken an AIR (they are committed but unconstrained), so keygen
-    surfaces them as (entry, part, index) triples for the AIR author.
+    Exact peer of the reference ``find_unused_vars`` (``keygen/mod.rs:371``):
+    usage is tracked per rotation offset (0 = local row, 1 = next row), and
+    offset-1 entries are only reported when the AIR uses rotations at all
+    (need_rot). Emission order matches the reference: preprocessed by
+    (index, offset), then main by (part, index, offset).
     """
-    width = _air_widths(air)
-    builder = run_symbolic(air, width)
-    dag = builder.build_dag()
     used = set()
     for n in dag.nodes:
         if n[0] == "var" and n[1] in ("preprocessed", "main"):
-            used.add((n[1], n[2], n[4]))
-    unused = []
-    if width.preprocessed:
-        for i in range(width.preprocessed):
-            if ("preprocessed", 0, i) not in used:
-                unused.append(("preprocessed", 0, i))
+            used.add((n[1], n[2], n[3], n[4]))  # (entry, part, offset, index)
+    unused: List[Tuple[str, int, int, int]] = []
+    for i in range(width.preprocessed or 0):
+        for off in range(2):
+            if ("preprocessed", 0, off, i) not in used and (off == 0 or need_rot):
+                unused.append(("preprocessed", 0, off, i))
     for part, w in enumerate(width.main_widths()):
         for i in range(w):
-            if ("main", part, i) not in used:
-                unused.append(("main", part, i))
+            for off in range(2):
+                if ("main", part, off, i) not in used and (off == 0 or need_rot):
+                    unused.append(("main", part, off, i))
     return unused
+
+
+def find_unused_vars(air: Air) -> List[Tuple[str, int, int, int]]:
+    """Trace cells never referenced by any constraint or interaction, as
+    (entry, part, offset, index) — see :func:`_unused_vars_of_dag`."""
+    width = _air_widths(air)
+    builder = run_symbolic(air, width)
+    dag = builder.build_dag()
+    max_rot = dag.max_rotation()
+    return _unused_vars_of_dag(dag, width, max_rot == 1)

@@ -193,12 +193,33 @@ def _ctx_cache_key(tag, ctx) -> tuple:
     return tuple(parts)
 
 
-def _fused_fn(backend, mpk, ctx, jit: bool = True):
+def _mesh_key(mesh):
+    if mesh is None:
+        return None
+    return (
+        tuple(mesh.axis_names),
+        tuple(mesh.devices.shape),
+        tuple(d.id for d in mesh.devices.flat),
+    )
+
+
+def _fused_fn(backend, mpk, ctx, jit: bool = True, mesh=None):
     """Build (and cache on the mpk) the whole-proof function for this
-    context shape (jitted single program, or the eager-async variant)."""
+    context shape (jitted single program, or the eager-async variant).
+
+    With ``mesh`` set, the SAME traced program is partitioned by XLA's SPMD
+    pass (GSPMD): inputs arrive sharded along the trace-height axis, the
+    stage code's :mod:`swirl.parallel.annotate` constraints pin the long
+    axis, and XLA inserts the collectives — the multi-chip prover IS the
+    single-chip program."""
+    import contextlib
+
+    from jax.sharding import NamedSharding, PartitionSpec as PSpec
+
+    from ..parallel import annotate
     from .backend import AirContext, Coordinator, ProvingContext
 
-    key = _ctx_cache_key(jit, ctx)
+    key = _ctx_cache_key((jit, _mesh_key(mesh)), ctx)
     cache = getattr(mpk, "_fused_cache", None)
     if cache is None:
         cache = {}
@@ -222,7 +243,10 @@ def _fused_fn(backend, mpk, ctx, jit: bool = True):
             )
             for (air_id, tc), arr in zip(ctx.per_trace, common_list)
         ]
-        with vmode.trace_mode():
+        mesh_ctx = (
+            annotate.spmd_mesh(mesh) if mesh is not None else contextlib.nullcontext()
+        )
+        with mesh_ctx, vmode.trace_mode():
             coord = Coordinator(backend, DeviceTranscript())
             proof = coord._prove(mpk, ProvingContext(per_trace))
         plain = {
@@ -242,7 +266,24 @@ def _fused_fn(backend, mpk, ctx, jit: bool = True):
         flat = [jnp.ravel(jnp.asarray(l, jnp.uint32)) for l in leaves]
         return jnp.concatenate(flat) if flat else jnp.zeros((0,), jnp.uint32)
 
-    wrapped = jax.jit(fn) if jit else fn
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        in_shardings = [
+            NamedSharding(
+                mesh,
+                PSpec(None, annotate.AXIS)
+                if int(tc.common_main.shape[1]) % n_dev == 0
+                else PSpec(),
+            )
+            for _, tc in ctx.per_trace
+        ]
+        wrapped = jax.jit(
+            fn, in_shardings=(in_shardings,), out_shardings=NamedSharding(mesh, PSpec())
+        )
+    elif jit:
+        wrapped = jax.jit(fn)
+    else:
+        wrapped = fn
     cache[key] = (wrapped, meta)
     return wrapped, meta
 
@@ -474,7 +515,7 @@ def _prove_segmented(backend, mpk, ctx, trace_vdata, public_values) -> Proof:
     return _rebuild_proof(plain, trace_vdata, public_values)
 
 
-def prove_fused(backend, mpk, unsorted_ctx, mode: str = "jit") -> Proof:
+def prove_fused(backend, mpk, unsorted_ctx, mode: str = "jit", mesh=None) -> Proof:
     """Device-resident prove; byte-identical to ``Coordinator.prove``.
 
     mode="jit": the whole proof is ONE compiled XLA program (compile once
@@ -486,8 +527,15 @@ def prove_fused(backend, mpk, unsorted_ctx, mode: str = "jit") -> Proof:
     dispatch — the transcript and every intermediate stay on device, there
     are ZERO host round-trips until the single final proof fetch, and
     nothing big ever compiles. The right choice for one-off shapes.
+
+    mesh: a ``jax.sharding.Mesh`` with axis "rows" — the whole proof runs
+    SPMD over the mesh with traces sharded along the height axis (GSPMD
+    partitioning of the jit program; only mode="jit" supports this). The
+    proof bytes are identical to the single-device result.
     """
     enable_compile_cache()
+    if mesh is not None and mode != "jit":
+        raise ValueError("mesh sharding requires mode='jit'")
     ctx = unsorted_ctx.sorted_for_stacking()
     num_airs = len(mpk.per_air)
 
@@ -504,7 +552,7 @@ def prove_fused(backend, mpk, unsorted_ctx, mode: str = "jit") -> Proof:
     common = [tc.common_main for _, tc in ctx.per_trace]
     if mode == "segmented":
         return _prove_segmented(backend, mpk, ctx, trace_vdata, public_values)
-    fn, meta = _fused_fn(backend, mpk, ctx, jit=(mode == "jit"))
+    fn, meta = _fused_fn(backend, mpk, ctx, jit=(mode == "jit"), mesh=mesh)
     flat = np.asarray(fn(common))  # one transfer for the whole proof
     leaves = []
     off = 0

@@ -104,7 +104,9 @@ def build_merkle_tree(matrix, rows_per_query: int, ext: bool = False) -> MerkleT
     assert rows_per_query & (rows_per_query - 1) == 0
     assert rows_per_query <= height
 
-    digests = _leaf_hashes(matrix, ext)  # (8, height)
+    from ..parallel import annotate
+
+    digests = annotate.rows(_leaf_hashes(matrix, ext), axis=1)  # (8, height)
     query_stride = height // rows_per_query
     # strided pairing: query index y combines row groups 2x and 2x+1
     cur = digests

@@ -175,7 +175,9 @@ def stack_traces(
     stacked = jnp.take(flat, jnp.asarray(src.reshape(-1)), axis=0).reshape(
         width, height
     )
-    return stacked, layout
+    from ..parallel import annotate
+
+    return annotate.rows(stacked, axis=1), layout
 
 
 def rs_message(l_skip: int, evals: jnp.ndarray) -> jnp.ndarray:
@@ -194,13 +196,15 @@ def rs_message(l_skip: int, evals: jnp.ndarray) -> jnp.ndarray:
 
 def rs_code_matrix(l_skip: int, log_blowup: int, stacked: jnp.ndarray) -> jnp.ndarray:
     """Reed-Solomon codewords of all stacked columns (batched NTT)."""
+    from ..parallel import annotate
+
     width, height = stacked.shape
     msg = rs_message(l_skip, stacked)
     padded = jnp.concatenate(
         [msg, jnp.zeros((width, height * ((1 << log_blowup) - 1)), jnp.uint32)],
         axis=1,
     )
-    return ntt(padded)
+    return annotate.rows(ntt(annotate.rows(padded, axis=1)), axis=1)
 
 
 def stacked_commit(

@@ -43,6 +43,44 @@ def load_shape_atlas(path: str) -> List[SyntheticShape]:
     return [SyntheticShape(**{k: v for k, v in s.items() if k in SyntheticShape.__dataclass_fields__}) for s in data["shapes"]]
 
 
+def shape_from_record(rec: dict, max_log_height: int = 22) -> SyntheticShape:
+    """Per-AIR shape from a reth-atlas record (peer of the reference's
+    ``shape_from_record``, ``benchmarks/synthetic/src/bin/synthetic_runner.rs:111``:
+    heights clamp to ``max_log_height``; ``num_distinct_buses`` is the
+    distinct count of the captured bus list; preprocessed/cached widths are
+    ignored by :class:`SyntheticAir` exactly as in the reference v1 AIR)."""
+    return SyntheticShape(
+        air_name=rec["air_name"],
+        log_height=min(rec["log_height"], max_log_height),
+        common_main_width=rec["common_main_width"],
+        num_constraints=rec["num_constraints"],
+        num_interactions=rec["num_interactions"],
+        num_distinct_buses=len(set(rec["buses"])) or 1,
+        max_constraint_degree=rec["max_constraint_degree"],
+        interaction_message_lens=list(rec["interaction_message_lens"]),
+        interaction_count_weights=list(rec["interaction_count_weights"]),
+    )
+
+
+def load_segment_atlas(path: str, max_log_height: int = 22) -> List[dict]:
+    """Load a segment atlas (``benchmarks/reth_atlas.py`` output): returns
+    [{"segment_idx": n, "clamped": bool, "shapes": [SyntheticShape...]}]."""
+    with open(path) as f:
+        data = json.load(f)
+    out = []
+    for seg in data["segments"]:
+        shapes = [shape_from_record(r, max_log_height) for r in seg["airs"]]
+        clamped = any(r["log_height"] > max_log_height for r in seg["airs"])
+        out.append(
+            {
+                "segment_idx": seg["segment_idx"],
+                "clamped": clamped,
+                "shapes": shapes,
+            }
+        )
+    return out
+
+
 class SyntheticAir(Air):
     def __init__(self, shape: SyntheticShape):
         max_msg = max(shape.interaction_message_lens, default=0)

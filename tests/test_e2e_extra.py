@@ -154,8 +154,11 @@ class TestKeygenDiagnostics:
                 b.assert_zero(row[0] * row[1] - row[1])
 
         unused = find_unused_vars(Wasteful())
-        assert ("main", 0, 2) in unused and ("main", 0, 3) in unused
-        assert ("main", 0, 0) not in unused
+        # (entry, part, offset, index); the AIR has no rotations, so only
+        # offset-0 entries are reported (reference keygen/mod.rs:402-420)
+        assert ("main", 0, 0, 2) in unused and ("main", 0, 0, 3) in unused
+        assert ("main", 0, 0, 0) not in unused
+        assert all(off == 0 for _, _, off, _ in unused)
 
 
 class TestPipelineDecomposition:
