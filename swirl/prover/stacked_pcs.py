@@ -26,6 +26,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..fields import jfield as jf
+from .errors import StackedPcsError
 from .merkle import MerkleTree, build_merkle_tree
 from .ntt import intt, ntt, zeta_transform
 
@@ -75,14 +76,17 @@ class StackedLayout:
             if width == 0:
                 continue
             if log_ht > log_stacked_height:
-                raise ValueError(
-                    f"trace log height {log_ht} exceeds stacked {log_stacked_height}"
+                raise StackedPcsError(
+                    f"StackedLayout.new: column height {log_ht} exceeds "
+                    f"stacked height {log_stacked_height}"
                 )
             slice_len = 1 << max(log_ht, l_skip)
             for j in range(width):
                 if row_idx + slice_len > height:
                     if row_idx != height:
-                        raise ValueError("column overflow in stacking layout")
+                        raise StackedPcsError(
+                            f"StackedLayout.new: row overflow at col_idx={col_idx}"
+                        )
                     col_idx += 1
                     row_idx = 0
                 sorted_cols.append(

@@ -33,12 +33,25 @@ def verify_proof_shape(mvk: MultiStarkVerifyingKey, proof: Proof) -> List[Stacke
 
     for air_id, avk in enumerate(mvk.per_air):
         vdata = proof.trace_vdata[air_id]
-        if avk.is_required:
-            _ensure(vdata is not None, f"required AIR {air_id} missing trace")
-        if vdata is not None:
+        pvs = proof.public_values[air_id]
+        if vdata is None:
+            _ensure(not avk.is_required, f"required AIR {air_id} missing trace")
+            _ensure(
+                len(pvs) == 0,
+                f"AIR {air_id} has public values but no trace",
+            )
+        else:
+            _ensure(
+                len(vdata.cached_commitments) == len(avk.params.width.cached_mains),
+                f"AIR {air_id} cached commitment count mismatch",
+            )
             _ensure(
                 0 <= vdata.log_height <= params.log_stacked_height,
                 "trace log height out of range",
+            )
+            _ensure(
+                len(pvs) == avk.params.num_public_values,
+                f"AIR {air_id} public value count mismatch",
             )
 
     num_traces = sum(1 for v in proof.trace_vdata if v is not None)
@@ -70,10 +83,37 @@ def verify_proof_shape(mvk: MultiStarkVerifyingKey, proof: Proof) -> List[Stacke
                 )
     except ValueError as e:
         raise ProofShapeError(str(e))
+    total_stacked_width = sum(l.width for l in layouts)
     _ensure(
-        layouts[0].width <= params.w_stack,
-        "stacked width exceeds w_stack",
+        total_stacked_width <= params.w_stack,
+        "total stacked width exceeds w_stack",
     )
+
+    # GKR proof shape (proof_shape.rs:381-414): the round count is derived
+    # from the total lifted interaction count, and layer j's sumcheck has
+    # exactly j round polys of 3 evaluations each.
+    from ..params import calculate_n_logup
+
+    total_interactions = sum(
+        len(mvk.per_air[a].symbolic_constraints.interactions)
+        << max(proof.trace_vdata[a].log_height, l_skip)
+        for a in trace_id_to_air_id
+    )
+    n_logup = calculate_n_logup(l_skip, total_interactions)
+    num_gkr_rounds = 0 if total_interactions == 0 else l_skip + n_logup
+    gp = proof.gkr_proof
+    _ensure(
+        len(gp.claims_per_layer) == num_gkr_rounds,
+        "gkr claims_per_layer count mismatch",
+    )
+    _ensure(
+        len(gp.sumcheck_polys) == max(num_gkr_rounds - 1, 0),
+        "gkr sumcheck layer count mismatch",
+    )
+    for i, layer in enumerate(gp.sumcheck_polys):
+        _ensure(len(layer) == i + 1, f"gkr layer {i + 1} round count mismatch")
+        for poly in layer:
+            _ensure(len(poly) == 3, "gkr round poly must have 3 evaluations")
 
     bp = proof.batch_constraint_proof
     _ensure(

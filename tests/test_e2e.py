@@ -70,6 +70,7 @@ class TestFibonacci:
         pvs = FibonacciAir.pvs(1, 1, 1)
         engine.run_test([air], [(trace, pvs, [])])
 
+    @pytest.mark.slow
     @pytest.mark.parametrize("l_skip,n_stack,k_whir", [(2, 4, 3), (3, 3, 2), (2, 5, 4)])
     def test_param_sweep(self, l_skip, n_stack, k_whir):
         engine = StarkEngine(small_params(l_skip, n_stack, k_whir))
@@ -188,19 +189,29 @@ class TestCached:
         )
 
 
+_NEG_CACHE = {}
+
+
 class TestNegative:
     def _proof(self):
-        engine = StarkEngine(small_params(2, 3, 3))
-        air = FibonacciAir()
-        n = 16
-        trace = FibonacciAir.generate_trace(1, 1, n)
-        pvs = FibonacciAir.pvs(1, 1, n)
-        pk, vk = engine.keygen([air])
-        ctx_pair = engine.context_for(0, trace, pvs, [])
-        from swirl.prover.backend import ProvingContext
+        """One shared prove per session; each test gets a codec-roundtrip
+        deep copy so tampering never leaks across tests."""
+        from swirl.codec import decode_proof, encode_proof
 
-        proof = engine.prove(engine.transport_pk(pk), ProvingContext([ctx_pair]))
-        return engine, vk, proof
+        if "fib" not in _NEG_CACHE:
+            engine = StarkEngine(small_params(2, 3, 3))
+            air = FibonacciAir()
+            n = 16
+            trace = FibonacciAir.generate_trace(1, 1, n)
+            pvs = FibonacciAir.pvs(1, 1, n)
+            pk, vk = engine.keygen([air])
+            ctx_pair = engine.context_for(0, trace, pvs, [])
+            from swirl.prover.backend import ProvingContext
+
+            proof = engine.prove(engine.transport_pk(pk), ProvingContext([ctx_pair]))
+            _NEG_CACHE["fib"] = (engine, vk, encode_proof(proof))
+        engine, vk, blob = _NEG_CACHE["fib"]
+        return engine, vk, decode_proof(blob)
 
     def test_tampered_pv_fails(self):
         engine, vk, proof = self._proof()
@@ -223,13 +234,21 @@ class TestNegative:
             engine.verify(vk, proof)
 
     def test_tampered_q0_claim_fails(self):
-        engine = StarkEngine(small_params(2, 4, 3))
-        air = SelfInteractionAir(4)
-        pk, vk = engine.keygen([air])
-        from swirl.prover.backend import ProvingContext
+        from swirl.codec import decode_proof, encode_proof
 
-        ctx = ProvingContext([engine.context_for(0, air.generate_trace(8), [], [])])
-        proof = engine.prove(engine.transport_pk(pk), ctx)
+        if "selfint" not in _NEG_CACHE:
+            engine = StarkEngine(small_params(2, 4, 3))
+            air = SelfInteractionAir(4)
+            pk, vk = engine.keygen([air])
+            from swirl.prover.backend import ProvingContext
+
+            ctx = ProvingContext(
+                [engine.context_for(0, air.generate_trace(8), [], [])]
+            )
+            proof = engine.prove(engine.transport_pk(pk), ctx)
+            _NEG_CACHE["selfint"] = (engine, vk, encode_proof(proof))
+        engine, vk, blob = _NEG_CACHE["selfint"]
+        proof = decode_proof(blob)
         q0 = proof.gkr_proof.q0_claim
         q0[0] = (int(q0[0]) + 1) % P
         with pytest.raises(ANY_FAILURE):

@@ -1,52 +1,51 @@
 """Fused-prover conformance: every fused mode must produce a proof whose
-CODEC bYTES equal the host-path proof's bytes (the "byte-identical"
+codec bytes equal the host-path proof's bytes (the "byte-identical"
 guarantee of docs/fused-prover.md, CI-enforced here per the round-1 review).
 
 Peer of the reference's GPU-vs-host equivalence tests
 (`cuda-backend/src/tests.rs:78` runs the shared suite on the GPU engine).
+
+The eager mode runs in the default (fast) tier; whole-proof jit and
+segmented compiles take minutes on the 1-core CI box, so they live in the
+slow tier (--runslow).
 """
 
-import numpy as np
 import pytest
 
 import tests.conftest  # noqa: F401  (forces CPU platform + 8 virtual devices)
 
 from swirl.codec import encode_proof
-from swirl.engine import StarkEngine
-from swirl.params import test_system_params_small as small_params
 from swirl.prover.fused import prove_fused
-from swirl.testing.fixtures import FibonacciAir
 
 
-@pytest.fixture(scope="module")
-def fib_setup():
-    eng = StarkEngine(small_params(2, 6, 3))
-    air = FibonacciAir()
-    pk, vk = eng.keygen([air])
-    dpk = eng.transport_pk(pk)
-    from swirl.prover.backend import ProvingContext
-
-    ctx = ProvingContext(
-        [eng.context_for(0, air.generate_trace(0, 1, 64), air.pvs(0, 1, 64))]
-    )
-    host_proof = eng.prove(dpk, ctx)
-    eng.verify(vk, host_proof)
-    return eng, vk, dpk, ctx, encode_proof(host_proof)
+def _host_bytes(fib_setup):
+    eng, vk, dpk, ctx, proof = fib_setup
+    return eng, vk, dpk, ctx, encode_proof(proof)
 
 
-@pytest.mark.parametrize("mode", ["jit", "segmented", "eager"])
-def test_fused_mode_byte_identical(fib_setup, mode):
-    eng, vk, dpk, ctx, host_bytes = fib_setup
+def test_fused_eager_byte_identical(fib_setup):
+    eng, vk, dpk, ctx, host_bytes = _host_bytes(fib_setup)
+    proof = prove_fused(eng.backend, dpk, ctx, mode="eager")
+    assert encode_proof(proof) == host_bytes
+    eng.verify(vk, proof)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["jit", "segmented"])
+def test_fused_compiled_mode_byte_identical(fib_setup, mode):
+    eng, vk, dpk, ctx, host_bytes = _host_bytes(fib_setup)
     proof = prove_fused(eng.backend, dpk, ctx, mode=mode)
     assert encode_proof(proof) == host_bytes
     eng.verify(vk, proof)
 
 
+@pytest.mark.slow
 def test_fused_cache_not_stale_across_public_values(fib_setup):
     """Two proves with identical shapes but different public values must not
     reuse a stale traced closure (advisor round-1 medium finding)."""
     eng, vk, dpk, _, _ = fib_setup
     from swirl.prover.backend import ProvingContext
+    from swirl.testing.fixtures import FibonacciAir
 
     air = FibonacciAir()
     for a, b in [(0, 1), (2, 5)]:

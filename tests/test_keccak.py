@@ -43,6 +43,7 @@ class TestKeccakAir:
         assert np.array_equal(flags.sum(axis=1), np.ones(128, dtype=np.uint32))
         assert np.array_equal(np.nonzero(flags)[1], np.arange(128) % 24)
 
+    @pytest.mark.slow
     def test_constraints_satisfied(self):
         """Host debug builder: every constraint holds on a generated trace."""
         air = KeccakAir()
@@ -57,6 +58,7 @@ class TestKeccakAir:
         ctx = ProvingContext([eng.context_for(0, tr, [], [])])
         eng.debug([air], pk, ctx)
 
+    @pytest.mark.slow
     def test_e2e_prove_verify(self):
         air = KeccakAir()
         rng = np.random.default_rng(2)

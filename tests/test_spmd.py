@@ -1,0 +1,48 @@
+"""Multi-chip SPMD prover conformance (slow tier: whole-proof GSPMD compile
+takes minutes on the 1-core CI box; warm runs are sub-second).
+
+The full fused prover is jitted over an 8-virtual-device mesh with traces
+sharded along the height axis; the resulting proof must be byte-identical
+to the single-device host-path proof (VERDICT round-1 item 2)."""
+
+import numpy as np
+import pytest
+
+import tests.conftest  # noqa: F401
+
+import jax
+from jax.sharding import Mesh
+
+from swirl.codec import encode_proof
+from swirl.engine import StarkEngine
+from swirl.params import test_system_params_small as small_params
+from swirl.prover.backend import ProvingContext
+from swirl.prover.fused import prove_fused
+from swirl.testing.fixtures import FibonacciAir
+
+
+@pytest.mark.slow
+def test_spmd_full_proof_byte_identical():
+    eng = StarkEngine(small_params(2, 3, 3))
+    air = FibonacciAir()
+    pk, vk = eng.keygen([air])
+    dpk = eng.transport_pk(pk)
+    ctx = ProvingContext(
+        [eng.context_for(0, air.generate_trace(0, 1, 16), air.pvs(0, 1, 16))]
+    )
+    host_bytes = encode_proof(eng.prove(dpk, ctx))
+    mesh = Mesh(np.array(jax.devices()), ("rows",))
+    proof = prove_fused(eng.backend, dpk, ctx, mode="jit", mesh=mesh)
+    assert encode_proof(proof) == host_bytes
+    eng.verify(vk, proof)
+    # warm re-prove exercises the cache path (same program, same bytes)
+    assert encode_proof(prove_fused(eng.backend, dpk, ctx, mode="jit", mesh=mesh)) == host_bytes
+
+
+@pytest.mark.slow
+def test_sharded_explicit_steps():
+    """The explicit shard_map kernel set (distributed NTT, sharded Merkle,
+    GKR layer, WHIR fold) — exercised via the dryrun entry."""
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(len(jax.devices()))
