@@ -78,6 +78,8 @@ def check_constraints_and_interactions(airs, pk: MultiStarkProvingKey, ctx):
     from .prover.backend import from_device_matrix
 
     bus_sums = defaultdict(lambda: defaultdict(int))  # bus -> msg tuple -> count
+    # bus -> msg tuple -> [(air_id, signed count)] for the imbalance report
+    contributions = defaultdict(lambda: defaultdict(list))
     for air_id, tc in ctx.per_trace:
         spk = pk.per_air[air_id]
         dag: ConstraintsDag = spk.vk.symbolic_constraints
@@ -109,9 +111,33 @@ def check_constraints_and_interactions(airs, pk: MultiStarkProvingKey, ctx):
                 bus_sums[it.bus_index][key] = (
                     bus_sums[it.bus_index][key] + c
                 ) % P
-    for bus, table in bus_sums.items():
-        for key, total in table.items():
-            if total % P != 0:
-                raise AssertionError(
-                    f"LogUp bus {bus} unbalanced for message {key}: {total}"
-                )
+                contributions[it.bus_index][key].append((air_id, c))
+    unbalanced = {
+        bus: {key: total for key, total in table.items() if total % P != 0}
+        for bus, table in bus_sums.items()
+    }
+    unbalanced = {bus: t for bus, t in unbalanced.items() if t}
+    if unbalanced:
+        raise AssertionError(format_unbalanced_report(unbalanced, contributions, pk))
+
+
+def format_unbalanced_report(unbalanced, contributions, pk) -> str:
+    """Per-bus unbalanced-message diff: for every message whose signed count
+    sum is nonzero, list each contributing (AIR, count) pair so the author
+    can see which side dropped/duplicated a send. Peer of the reference
+    interaction debugger (``interaction/debug.rs`` LogicalInteractions +
+    the `debug_constraints_and_interactions` report)."""
+    lines = ["LogUp bus imbalance detected:"]
+    for bus in sorted(unbalanced):
+        lines.append(f"  bus {bus}:")
+        for key, total in list(unbalanced[bus].items())[:20]:
+            signed = total if total <= P // 2 else total - P
+            lines.append(f"    message {key}: net count {signed} (mod p {total})")
+            for air_id, c in contributions[bus][key]:
+                name = pk.per_air[air_id].air_name
+                sc = c if c <= P // 2 else c - P
+                lines.append(f"      {name} (air {air_id}): {sc:+d}")
+        extra = len(unbalanced[bus]) - 20
+        if extra > 0:
+            lines.append(f"    ... and {extra} more unbalanced messages")
+    return "\n".join(lines)

@@ -151,13 +151,29 @@ def enable_compile_cache(path: str | None = None) -> None:
 
     Default location: ``$SWIRL_JAX_CACHE``, else ``.jax_cache`` next to the
     package (derived from ``__file__``, not a hardcoded checkout path)."""
+    import hashlib
     import os
+    import platform
 
+    if os.environ.get("SWIRL_JAX_CACHE") == "0":
+        return
     if path is None:
-        path = os.environ.get("SWIRL_JAX_CACHE") or os.path.join(
+        base = os.environ.get("SWIRL_JAX_CACHE") or os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
             ".jax_cache",
         )
+        # Scope the cache to this machine's CPU features: XLA:CPU AOT
+        # artifacts baked for another host's ISA can SIGILL/segfault when
+        # loaded (JAX's cache key does not include host CPU features).
+        try:
+            with open("/proc/cpuinfo") as f:
+                flags = next((l for l in f if l.startswith("flags")), "")
+        except OSError:
+            flags = ""
+        tag = hashlib.sha1(
+            (platform.machine() + flags).encode()
+        ).hexdigest()[:12]
+        path = os.path.join(base, tag)
     if jax.config.jax_compilation_cache_dir is None:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

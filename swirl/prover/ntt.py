@@ -98,6 +98,8 @@ def ntt(x, inverse: bool = False, ext: bool = False):
     from ..tpu import ntt_pallas
 
     if ntt_pallas.usable(x.shape, ext):
+        if ext:
+            return ntt_pallas.ntt_ext(x, inverse=inverse)
         return ntt_pallas.ntt(x, inverse=inverse)
     axis = -2 if ext else -1
     n = x.shape[axis]

@@ -54,10 +54,17 @@ class FibonacciAir(Air):
 
 
 class FibonacciSelectorAir(Air):
-    """Fib with a preprocessed selector column gating the transition."""
+    """Fib with a preprocessed selector column gating the transition.
 
-    def __init__(self, sels: List[bool]):
+    With ``interaction=True`` the AIR additionally sends (a, b) on lookup
+    bus 0 gated by the selector with count_weight 0 — mirroring the
+    reference fixture's ``enable_interactions`` flag (LookupBus key adds,
+    ``fib_selector_air/air.rs:105``), used by the vk-introspection tests.
+    """
+
+    def __init__(self, sels: List[bool], interaction: bool = False):
         self.sels = list(sels)
+        self.interaction = interaction
 
     def common_main_width(self) -> int:
         return 2
@@ -84,6 +91,8 @@ class FibonacciSelectorAir(Air):
         not_sel.assert_eq(a_next, a)
         not_sel.assert_eq(b_next, bb)
         b.when_last_row().assert_eq(bb, pv_final)
+        if self.interaction:
+            b.push_interaction(0, [a, bb], sel, 0)
 
     def generate_trace(self, a0: int, b0: int) -> np.ndarray:
         n = len(self.sels)

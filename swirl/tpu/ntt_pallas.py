@@ -46,7 +46,13 @@ LANE = 128
 # minimum log-size for which the four-step kernel engages; below this the
 # XLA butterfly path is already cheap.
 MIN_LOG_N = 16
+# single-level four-step ceiling: at 2^26 the kernel-2 block (1, n2, LANE)
+# plus its output fill ~16 MB of VMEM (n2 = 2^13 -> 2 x 4 MB + twiddles).
 MAX_LOG_N = 26
+# beyond that, the n2-point transforms recurse through a second four-step
+# level (one extra HBM transpose pass); matches the reference CUDA ceiling
+# 2^27 (cuda-backend/src/cuda/ntt.rs:8) and extends to 2^28.
+MAX_RECURSE_LOG_N = 28
 
 
 def _split(log_n: int) -> tuple:
@@ -196,27 +202,105 @@ def _ntt_fn(log_n: int, batch: int, inverse: bool, scale_inv_n: bool,
 
 
 def usable(shape, ext: bool) -> bool:
-    """True when the four-step kernel supports an ntt() call of this shape."""
+    """True when the four-step kernel supports an ntt() call of this shape.
+
+    Base field: (batch, N). Extension field: (batch, N, 4) — EF NTTs are
+    four independent base-field transforms (the two-adic twiddles live in
+    F_p), run through :func:`ntt_ext`.
+    """
     from . import pallas_mode
 
-    if ext or pallas_mode() == "off":
+    if pallas_mode() == "off":
         return False
-    if len(shape) != 2:
-        return False
-    n = shape[-1]
+    if ext:
+        if len(shape) != 3 or shape[-1] != 4:
+            return False
+        n = shape[-2]
+    else:
+        if len(shape) != 2:
+            return False
+        n = shape[-1]
     log_n = n.bit_length() - 1
-    if (1 << log_n) != n or not (MIN_LOG_N <= log_n <= MAX_LOG_N):
+    if (1 << log_n) != n or not (MIN_LOG_N <= log_n <= MAX_RECURSE_LOG_N):
         return False
-    ln1, ln2 = _split(log_n)
+    ln1, ln2 = _split(min(log_n, MAX_LOG_N))
     return (1 << ln1) % LANE == 0 and (1 << ln2) % LANE == 0
 
 
+def _kernel1_only(log_n: int, batch: int, inverse: bool, scale_inv_n: bool,
+                  interpret: bool):
+    """First four-step level for the recursive (> MAX_LOG_N) path: sub-NTT
+    over j1 + four-step twiddle, producing A_T (batch, n2, n1)."""
+    ln1, ln2 = _split(log_n)
+    n1, n2 = 1 << ln1, 1 << ln2
+    tw1 = _stage_twiddles(ln1, inverse)
+    t_mat = _four_step_twiddles(log_n, inverse, scale_inv_n)
+
+    const2 = lambda arr: pl.BlockSpec(
+        arr.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM
+    )
+
+    def run(x):
+        xm = x.reshape(batch, n1, n2)
+        return pl.pallas_call(
+            partial(_kernel1, ln1),
+            grid=(n2 // LANE, batch),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, n1, LANE), lambda i, j: (j, 0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                *[const2(t) for t in tw1],
+                pl.BlockSpec(
+                    (n1, LANE), lambda i, j: (0, i), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, LANE, n1), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((batch, n2, n1), jnp.uint32),
+            interpret=interpret,
+        )(xm, *tw1, t_mat)
+
+    return run
+
+
 def ntt(x, inverse: bool = False, scale_inv_n: bool = False):
-    """Natural-order NTT along axis -1 of a (batch, N) Monty array."""
+    """Natural-order NTT along axis -1 of a (batch, N) Monty array.
+
+    N <= 2^26 runs the two-kernel four-step (~2 HBM passes). Larger N
+    recurses: level-1 kernel produces the twiddled transpose, the n2-point
+    transforms run as a second four-step level over a reshaped batch (one
+    extra HBM transpose pass each way).
+    """
     from . import pallas_mode
 
+    interp = pallas_mode() == "interpret"
     batch, n = int(x.shape[0]), int(x.shape[1])
     log_n = n.bit_length() - 1
-    fn = _ntt_fn(log_n, batch, inverse, scale_inv_n,
-                 pallas_mode() == "interpret")
-    return fn(x)
+    if log_n <= MAX_LOG_N:
+        return _ntt_fn(log_n, batch, inverse, scale_inv_n, interp)(x)
+    assert log_n <= MAX_RECURSE_LOG_N, log_n
+    ln1, ln2 = _split(log_n)
+    n1, n2 = 1 << ln1, 1 << ln2
+    a_t = _kernel1_only(log_n, batch, inverse, scale_inv_n, interp)(x)
+    # A_T: (batch, n2, n1) = [j2, k1]; need n2-point NTTs along j2 per k1.
+    b = jnp.transpose(a_t, (0, 2, 1)).reshape(batch * n1, n2)
+    z = _ntt_fn(ln2, batch * n1, inverse, False, interp)(b)
+    # Z: (batch*n1, n2) = [k1, k2]; natural order is X[k1 + n1*k2].
+    z = z.reshape(batch, n1, n2)
+    return jnp.transpose(z, (0, 2, 1)).reshape(batch, n1 * n2)
+
+
+def ntt_ext(x, inverse: bool = False, scale_inv_n: bool = False):
+    """EF4-valued NTT along axis -2 of a (batch, N, 4) Monty array.
+
+    The two-adic subgroup lies in F_p, so the transform acts coefficient-
+    wise: four independent base-field NTTs over the coefficient planes
+    (this is exactly how the reference's WHIR codeword commits use the
+    base NTT machinery, cuda-backend/src/whir.rs)."""
+    batch, n, d = int(x.shape[0]), int(x.shape[1]), int(x.shape[2])
+    assert d == 4
+    planes = jnp.transpose(x, (0, 2, 1)).reshape(batch * d, n)
+    out = ntt(planes, inverse=inverse, scale_inv_n=scale_inv_n)
+    return jnp.transpose(out.reshape(batch, d, n), (0, 2, 1))

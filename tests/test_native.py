@@ -28,13 +28,12 @@ def test_hash_rows_matches_numpy():
 
         n = m.shape[0]
         state = np.zeros((n, WIDTH), dtype=np.uint64)
-        if w == 0:
+        # p3 PaddingFreeSponge: empty input hashes to the zero digest with
+        # NO permutation (hasher.rs/PaddingFreeSponge semantics).
+        for i in range(0, w, RATE):
+            chunk = m[:, i : i + RATE]
+            state[:, : chunk.shape[1]] = chunk
             state = _permute_np_py(state)
-        else:
-            for i in range(0, w, RATE):
-                chunk = m[:, i : i + RATE]
-                state[:, : chunk.shape[1]] = chunk
-                state = _permute_np_py(state)
         assert np.array_equal(native.hash_rows(m), state[:, :DIGEST]), w
 
 
