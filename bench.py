@@ -92,6 +92,41 @@ def e2e_bench():
     )
 
     eng.verify(vk, proof)
+
+    # memory-model calibration: predicted HBM peak vs the device's measured
+    # peak_bytes_in_use (the metering model must track live HBM, not just
+    # be asserted — reference MemTracker / memory_metering.rs precedent)
+    try:
+        import jax
+
+        stats = jax.devices()[0].memory_stats() or {}
+        measured_peak = int(stats.get("peak_bytes_in_use", 0))
+    except Exception:
+        measured_peak = 0
+    if measured_peak:
+        from swirl.memory_metering import ProvingMemoryCounts
+
+        rows = 1 << LOG_ROWS
+        counts = ProvingMemoryCounts(
+            main_cells_with_rot=rows * air.common_main_width(),
+            main_cells_without_rot=0,
+            interaction_cells=rows * shape.num_interactions,
+        )
+        est = eng.proving_memory_config().estimate(counts)
+        print(
+            "bench: mem_calibration "
+            + json.dumps(
+                {
+                    "measured_peak_bytes": measured_peak,
+                    "model_total_bytes": est.total,
+                    "model_over_measured": round(
+                        est.total / measured_peak, 3
+                    ),
+                }
+            ),
+            file=sys.stderr,
+        )
+
     cells = (1 << LOG_ROWS) * air.common_main_width()
     print(
         json.dumps(

@@ -250,3 +250,55 @@ def ext_sum(a, axis=0):
 
 
 base_sum = ext_sum  # same tree reduction works for base field arrays
+
+
+# ---------------------------------------------------------------------------
+# Device-computed tables.
+#
+# Any O(n) table materialized on host at trace time (numpy twiddles, power
+# series, selector masks, gather maps) is baked into the traced program as an
+# HLO literal; at production heights that is tens-to-hundreds of MB of
+# constants per program and makes lowering/compiling the fused prover blow up
+# superlinearly. These helpers build the same tables ON DEVICE from iota in
+# O(log n) traced ops, so program size stays flat in the trace height.
+# ---------------------------------------------------------------------------
+
+
+def powers_dev(base, n: int):
+    """[base^0, ..., base^{n-1}] in Monty form as a device (n,) array.
+
+    `base` is a Monty-form scalar (traced or constant). Log-depth doubling:
+    each round appends arr * arr[-1]'s successor power, so the traced program
+    is O(log n) equations with no O(n) literal."""
+    one = jnp.full((1,), const(1), jnp.uint32)
+    if n <= 0:
+        return jnp.zeros((0,), jnp.uint32)
+    arr = one
+    cur = jnp.asarray(base, jnp.uint32).reshape(())  # base^(len(arr))
+    while arr.shape[0] < n:
+        arr = jnp.concatenate([arr, mul(arr, cur)])
+        cur = mul(cur, cur)
+    return arr[:n]
+
+
+def ext_powers_dev(base, n: int):
+    """[base^0, ..., base^{n-1}] for an EF4 Monty scalar, device (n, 4)."""
+    one = jnp.zeros((1, 4), jnp.uint32).at[0, 0].set(const(1))
+    if n <= 0:
+        return jnp.zeros((0, 4), jnp.uint32)
+    arr = one
+    cur = jnp.asarray(base, jnp.uint32).reshape(1, 4)
+    while arr.shape[0] < n:
+        arr = jnp.concatenate([arr, ext_mul(arr, cur)])
+        cur = ext_mul(cur, cur)
+    return arr[:n]
+
+
+def bitrev_perm_dev(log_n: int):
+    """Bit-reversal permutation indices as a device (2^log_n,) int32 array."""
+    n = 1 << log_n
+    idx = jax.lax.iota(jnp.uint32, n)
+    rev = jnp.zeros((n,), jnp.uint32)
+    for b in range(log_n):
+        rev = rev | (((idx >> b) & jnp.uint32(1)) << (log_n - 1 - b))
+    return rev.astype(jnp.int32)

@@ -25,6 +25,7 @@ from ..proof import Proof, TraceVData
 from ..transcript import Transcript
 from .logup_zerocheck import TraceProver, prove_zerocheck_and_logup
 from .. import metrics
+from .. import sanitize
 from .stacked_pcs import StackedPcsData, stacked_commit
 from .stacked_reduction import prove_stacked_opening_reduction
 from .whir import prove_whir_opening
@@ -173,8 +174,11 @@ class Coordinator:
         num_airs = len(mpk.per_air)
 
         common_traces = [tc.common_main for _, tc in ctx.per_trace]
+        sanitize.check_traces(common_traces, "common_main")
         with metrics.span("prover.main_trace_commit"):
             common_commit, common_data = self.backend.commit_traces(common_traces)
+        if sanitize.enabled() and common_data.matrix is not None:
+            sanitize.check_canonical(common_data.matrix, "stacked_matrix")
 
         trace_vdata: List[Optional[TraceVData]] = [None] * num_airs
         public_values: List[List[int]] = [[] for _ in range(num_airs)]

@@ -40,6 +40,7 @@ from .dag_eval import (
     acc_interactions_host,
     interactions_pq_device,
 )
+from .errors import LogupZerocheckError
 from .gkr import fractional_sumcheck
 from .stacked_pcs import StackedLayout
 from .sumcheck import (
@@ -130,6 +131,41 @@ class LogupZerocheckProver:
         return self._eq_tables[key]
 
 
+def _validate_trace_dag(t: TraceProver) -> None:
+    """Validate every DAG variable against the trace's actual widths before
+    evaluation (the reference validates at ``LogupZerocheckCpu::new``:
+    ``prover/error.rs`` PreprocessedIndexOutOfBounds /
+    MainPartitionIndexOutOfBounds / PublicValueIndexOutOfBounds /
+    ChallengeNotSupported)."""
+    num_parts = len(t.cached) + 1
+    part_widths = [int(m.shape[0]) for m in t.cached] + [int(t.common.shape[0])]
+    prep_width = int(t.preprocessed.shape[0]) if t.preprocessed is not None else 0
+    for node in t.dag.nodes:
+        if node[0] != "var":
+            continue
+        _, entry, part, _offset, index = node
+        if entry == "preprocessed":
+            if index >= prep_width:
+                raise LogupZerocheckError(
+                    f"air {t.air_id}: preprocessed trace index {index} out of "
+                    f"bounds for width {prep_width}"
+                )
+        elif entry == "main":
+            if part >= num_parts or index >= part_widths[part]:
+                raise LogupZerocheckError(
+                    f"air {t.air_id}: main partition {part} col_index {index} "
+                    f">= width {part_widths[part] if part < num_parts else 0}"
+                )
+        elif entry == "public":
+            if index >= len(t.public_values):
+                raise LogupZerocheckError(
+                    f"air {t.air_id}: public value index {index} out of bounds "
+                    f"for len {len(t.public_values)}"
+                )
+        elif entry == "challenge":
+            raise LogupZerocheckError(f"air {t.air_id}: challenge not supported")
+
+
 def prove_zerocheck_and_logup(
     transcript: Transcript,
     params: SystemParams,
@@ -139,6 +175,10 @@ def prove_zerocheck_and_logup(
     v = vm()
     l_skip = params.l_skip
     num_traces = len(traces)
+    if num_traces == 0:
+        raise LogupZerocheckError("prove_zerocheck_and_logup: no traces")
+    for t in traces:
+        _validate_trace_dag(t)
     pv = LogupZerocheckProver(params, global_degree, traces)
     n_max = pv.n_max
     d_global = global_degree

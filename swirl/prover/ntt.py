@@ -25,9 +25,12 @@ from ..fields import jfield as jf
 from ..fields.babybear import P, roots_of_unity, two_adic_generator
 
 
-@lru_cache(maxsize=None)
 def _twiddles(log_n: int, inverse: bool) -> tuple:
-    """Per-stage twiddle tables in Monty form, index by merge-stage size."""
+    """Per-stage twiddle tables in Monty form, indexed by merge-stage size.
+
+    Computed ON DEVICE via log-depth power doubling (``jf.powers_dev``) so no
+    O(n) literal is baked into the traced program (a 2^21-point transform
+    would otherwise embed ~16 MB of constants per call)."""
     w = two_adic_generator(log_n)
     if inverse:
         w = pow(w, P - 2, P)
@@ -36,12 +39,7 @@ def _twiddles(log_n: int, inverse: bool) -> tuple:
     for s in range(log_n):
         m = 1 << (s + 1)
         wm = pow(w, 1 << (log_n - s - 1), P)
-        tw = np.empty(m // 2, dtype=np.uint64)
-        acc = 1
-        for k in range(m // 2):
-            tw[k] = acc
-            acc = (acc * wm) % P
-        tables.append(jf.const_arr(tw))
+        tables.append(jf.powers_dev(jf.const(wm), m // 2))
     return tuple(tables)
 
 
@@ -54,19 +52,15 @@ def _mul_maybe_ext(x, tw, ext: bool):
 from functools import partial
 
 
-@lru_cache(maxsize=None)
 def _bitrev_indices(log_n: int):
-    n = 1 << log_n
-    idx = np.arange(n)
-    rev = np.zeros(n, dtype=np.int32)
-    for b in range(log_n):
-        rev |= ((idx >> b) & 1) << (log_n - 1 - b)
-    return rev
+    """Bit-reversal permutation, computed on device from iota (no literal)."""
+    return jf.bitrev_perm_dev(log_n)
 
 
-@lru_cache(maxsize=None)
 def _dif_twiddles(log_n: int, inverse: bool) -> tuple:
-    """Per-DIF-stage twiddles: stage with half-block size h uses w_{2h}^j."""
+    """Per-DIF-stage twiddles: stage with half-block size h uses w_{2h}^j.
+
+    Device-computed (``jf.powers_dev``) — see ``_twiddles``."""
     w = two_adic_generator(log_n)
     if inverse:
         w = pow(w, P - 2, P)
@@ -74,12 +68,7 @@ def _dif_twiddles(log_n: int, inverse: bool) -> tuple:
     for s in range(log_n):  # h = n/2, n/4, ..., 1
         h = 1 << (log_n - 1 - s)
         wm = pow(w, 1 << s, P)  # order-2h root
-        tw = np.empty(h, dtype=np.uint64)
-        acc = 1
-        for j in range(h):
-            tw[j] = acc
-            acc = (acc * wm) % P
-        tables.append(jf.const_arr(tw))
+        tables.append(jf.powers_dev(jf.const(wm), h))
     return tuple(tables)
 
 
@@ -145,17 +134,9 @@ def intt(x, ext: bool = False):
     return jf.mul(y, n_inv)
 
 
-@lru_cache(maxsize=None)
 def _coset_powers(log_n: int, shift: int):
-    """[shift^0, ..., shift^{N-1}] in Monty form."""
-    n = 1 << log_n
-    out = np.empty(n, dtype=np.uint64)
-    acc = 1
-    s = int(shift) % P
-    for i in range(n):
-        out[i] = acc
-        acc = (acc * s) % P
-    return jf.const_arr(out)
+    """[shift^0, ..., shift^{N-1}] in Monty form, device-computed."""
+    return jf.powers_dev(jf.const(int(shift) % P), 1 << log_n)
 
 
 def coset_ntt(coeffs, shift: int, ext: bool = False):

@@ -18,6 +18,7 @@ from ..fields import ext as hext
 from ..fields import jfield as jf
 from ..transcript import Transcript
 from .. import poly as hpoly
+from .errors import SumcheckError
 from .sumcheck import barycentric_weights_host, fold_mle_vec, fold_ple
 
 
@@ -74,7 +75,7 @@ def verify_sumcheck_multilinear(
         s0 = hext.esub(claim, s1)
         claim = hpoly.interpolate_linear_at_01([s0, s1], r_i)
     if not hext.eeq(claim, proof.eval_claim):
-        raise ValueError("sumcheck final claim mismatch")
+        raise SumcheckError("sumcheck final claim mismatch")
     transcript.observe_ext(proof.eval_claim)
     return r
 
@@ -122,7 +123,7 @@ def verify_sumcheck_prismalinear(
     s0 = np.stack(proof.s0_coeffs)
     total = hpoly.sum_over_subgroup_from_coeffs(s0, l_skip)
     if not hext.eeq(total, proof.sum_claim):
-        raise ValueError("prism sumcheck s0 sum mismatch")
+        raise SumcheckError("prism sumcheck s0 sum mismatch")
     for c in proof.s0_coeffs:
         transcript.observe_ext(c)
     r0 = transcript.sample_ext()
@@ -136,6 +137,6 @@ def verify_sumcheck_prismalinear(
         s_at_0 = hext.esub(claim, s1)
         claim = hpoly.interpolate_linear_at_01([s_at_0, s1], r_i)
     if not hext.eeq(claim, proof.eval_claim):
-        raise ValueError("prism sumcheck final claim mismatch")
+        raise SumcheckError("prism sumcheck final claim mismatch")
     transcript.observe_ext(proof.eval_claim)
     return r

@@ -21,6 +21,7 @@ from ..fields import jfield as jf
 from ..fields.babybear import GENERATOR, P, U64, roots_of_unity, two_adic_generator
 from ..params import SystemParams
 from ..proof import StackingProof
+from .errors import StackedReductionError
 from ..transcript import Transcript
 from .. import poly as hpoly
 from .stacked_pcs import StackedPcsData, StackedSlice
@@ -88,6 +89,12 @@ def prove_stacked_opening_reduction(
         lht = tv.slice.log_height
         if lht not in eq_r_per_lht:
             n_lift = max(lht - l_skip, 0)
+            if len(r) < 1 + n_lift:
+                # reference: StackedReductionError::EqRMissing (error.rs)
+                raise StackedReductionError(
+                    f"eq_r missing entry for log_height={lht}: need "
+                    f"{1 + n_lift} opening-point coords, got {len(r)}"
+                )
             vec = v.stack(r[1 : 1 + n_lift])
             eq_r_per_lht[lht] = eq_hypercube_dev(vec)
 

@@ -250,10 +250,17 @@ def coset_eval_chunks(mat, l_skip: int, coset_shifts: Sequence[int], is_rot: boo
 
 def selectors_matrix(height: int, l_skip: int):
     """(3, lifted_height) base selectors [is_first, is_transition, is_last]
-    of the lift of a height-`height` trace."""
+    of the lift of a height-`height` trace.
+
+    Built on device from iota (O(log) traced ops) — a numpy version would
+    bake a 3*height literal into every traced prover program."""
+    import jax
+
     lifted = max(height, 1 << l_skip)
-    idx = np.arange(lifted) % height
-    is_first = (idx == 0).astype(np.uint64)
-    is_last = (idx == height - 1).astype(np.uint64)
-    is_transition = 1 - is_last
-    return jf.const_arr(np.stack([is_first, is_transition, is_last]))
+    idx = jax.lax.iota(jnp.uint32, lifted) % jnp.uint32(height)
+    one = jnp.uint32(jf.const(1))
+    zero = jnp.uint32(0)
+    is_first = jnp.where(idx == 0, one, zero)
+    is_last = jnp.where(idx == jnp.uint32(height - 1), one, zero)
+    is_transition = jnp.where(idx == jnp.uint32(height - 1), zero, one)
+    return jnp.stack([is_first, is_transition, is_last])

@@ -20,6 +20,7 @@ from ..fields.babybear import P, U64, two_adic_generator
 from ..params import SystemParams
 from ..proof import WhirProof
 from ..transcript import Transcript
+from .errors import WhirProverError
 from .merkle import build_merkle_tree, get_opened_rows
 from .ntt import mobius_transform, ntt, zeta_transform
 from .stacked_pcs import StackedPcsData, rs_message
@@ -53,6 +54,16 @@ def prove_whir_opening(
     log_blowup = params.log_blowup
     k = whir.k
     num_rounds = whir.num_whir_rounds()
+    if not committed:
+        raise WhirProverError("prove_whir_opening: no committed data")
+    expected_h = int(committed[0].get_matrix().shape[1])
+    for d in committed:
+        h = int(d.get_matrix().shape[1])
+        if h != expected_h:
+            # reference: WhirProverError::TreeHeightMismatch (error.rs)
+            raise WhirProverError(
+                f"prove_whir_opening: tree height {h} != expected {expected_h}"
+            )
 
     mu_pow_witness = transcript.grind(whir.mu_pow_bits)
     mu = transcript.sample_ext()

@@ -10,6 +10,7 @@ from swirl.fields import jfield as jf
 from swirl.fields.babybear import P
 from swirl.params import test_system_params_small as small_params
 from swirl.prover.backend import ProvingContext
+from swirl.prover.errors import SumcheckError
 from swirl.prover.plain_sumcheck import (
     sumcheck_multilinear,
     sumcheck_prismalinear,
@@ -42,7 +43,7 @@ class TestPlainSumcheck:
         evals_host = rng.integers(0, P, (8, 4), dtype=np.uint64)
         proof, _ = sumcheck_multilinear(Transcript(), jf.const_arr(evals_host))
         proof.round_polys_eval[1][0] = (proof.round_polys_eval[1][0] + 1) % P
-        with pytest.raises(ValueError):
+        with pytest.raises(SumcheckError):
             verify_sumcheck_multilinear(Transcript(), proof, 3)
 
     def test_prismalinear_roundtrip(self):
