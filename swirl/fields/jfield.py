@@ -20,6 +20,8 @@ the standard Montgomery algorithm, not translated.
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -227,11 +229,28 @@ def ext_pow_const(a, e: int):
     return result
 
 
+@partial(jax.jit, static_argnames=("axis",))
+def _ext_sum_jit(a, axis: int):
+    a = jnp.moveaxis(a, axis, 0)
+    while a.shape[0] > 1:
+        m = a.shape[0]
+        if m % 2 == 1:
+            a = jnp.concatenate([a, jnp.zeros((1,) + a.shape[1:], jnp.uint32)], 0)
+            m += 1
+        half = m // 2
+        v = a.reshape((half, 2) + a.shape[1:])
+        a = add(v[:, 0], v[:, 1])
+    return a[0]
+
+
 def ext_sum(a, axis=0):
     """Sum along an axis with modular reduction.
 
-    uint32 sums wrap; we reduce pairwise with the modular `add` via a tree to
-    stay exact. For long axes this builds a log-depth tree at trace time.
+    uint32 sums wrap; we reduce pairwise with the modular `add` via a
+    log-depth tree of contiguous pair-halves (reshape + unit slices, no
+    strided gathers). jit-wrapped so each call site contributes ONE call
+    equation to an outer trace — the unrolled tree (log n levels) was a
+    dominant share of the fused prover's HLO size.
     """
     a = jnp.asarray(a)
     n = a.shape[axis]
@@ -239,14 +258,7 @@ def ext_sum(a, axis=0):
         shape = list(a.shape)
         del shape[axis]
         return jnp.zeros(shape, dtype=jnp.uint32)
-    a = jnp.moveaxis(a, axis, 0)
-    while a.shape[0] > 1:
-        m = a.shape[0]
-        if m % 2 == 1:
-            a = jnp.concatenate([a, jnp.zeros((1,) + a.shape[1:], jnp.uint32)], 0)
-            m += 1
-        a = add(a[0::2], a[1::2])
-    return a[0]
+    return _ext_sum_jit(a, int(axis) % a.ndim)
 
 
 base_sum = ext_sum  # same tree reduction works for base field arrays

@@ -104,6 +104,27 @@ class DeviceTranscript:
             self.absorb_idx = 0
             self.sample_idx = RATE
 
+    def _observe_monty_vec(self, flat) -> None:
+        """Absorb a flat (k,) Monty vector in rate-sized chunks.
+
+        Bit-identical to k sequential :meth:`_observe_monty` calls, but each
+        chunk is ONE dynamic_update_slice (cursors are trace-time Python
+        ints) — per-felt scatters were a dominant share of the fused
+        prover's HLO op count."""
+        k = int(flat.shape[0])
+        off = 0
+        while off < k:
+            c = min(RATE - self.absorb_idx, k - off)
+            self.state = jax.lax.dynamic_update_slice(
+                self.state, flat[off : off + c], (self.absorb_idx,)
+            )
+            self.absorb_idx += c
+            off += c
+            if self.absorb_idx == RATE:
+                self._permute()
+                self.absorb_idx = 0
+                self.sample_idx = RATE
+
     def observe(self, value) -> None:
         if isinstance(value, (int, np.integer)):
             self._observe_monty(jnp.uint32(jf.const(int(value) % P)))
@@ -131,9 +152,7 @@ class DeviceTranscript:
             for v in np.asarray(arr, dtype=np.uint64).ravel():
                 self.observe(int(v))
         else:
-            flat = jnp.ravel(arr)
-            for i in range(flat.shape[0]):
-                self._observe_monty(flat[i])  # traced arrays are Monty
+            self._observe_monty_vec(jnp.ravel(arr))  # traced arrays are Monty
 
     def observe_commit(self, digest) -> None:
         if isinstance(digest, np.ndarray) and digest.dtype == np.uint64:
@@ -142,8 +161,7 @@ class DeviceTranscript:
         else:  # device digests (jnp or numpy uint32) are Monty form
             d = jnp.ravel(jnp.asarray(digest))
             assert d.shape[0] == DIGEST
-            for i in range(DIGEST):
-                self._observe_monty(d[i])
+            self._observe_monty_vec(d)
 
     def observe_ext(self, value) -> None:
         if isinstance(value, np.ndarray) and value.dtype == np.uint64:
@@ -152,10 +170,19 @@ class DeviceTranscript:
             return
         v = jnp.ravel(value)
         assert v.shape[0] == EF_D
-        for i in range(EF_D):
-            self._observe_monty(v[i])
+        self._observe_monty_vec(v)
 
     def sample_ext(self):
+        # fast path: 4 consecutive squeezes with no interleaved permute are
+        # one reversed length-4 slice of the state
+        if self.absorb_idx != 0 or self.sample_idx == 0:
+            self._permute()
+            self.absorb_idx = 0
+            self.sample_idx = RATE
+        if self.sample_idx >= EF_D:
+            s = self.sample_idx
+            self.sample_idx -= EF_D
+            return jax.lax.slice(self.state, (s - EF_D,), (s,))[::-1]
         return jnp.stack([self.sample() for _ in range(EF_D)])
 
     def sample_bits(self, bits: int):

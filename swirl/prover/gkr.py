@@ -17,6 +17,7 @@ from dataclasses import dataclass
 from typing import List, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..fields import ext as hext
@@ -25,6 +26,33 @@ from ..proof import GkrLayerClaims, GkrProof
 from ..transcript import Transcript
 from .sumcheck import fold_mle_vec
 from .vmode import vm
+
+
+@jax.jit
+def _gkr_round_evals(cols, lam_dev):
+    """Degree-3 round-poly evaluations at X in {1,2,3}.
+
+    cols: (5, m, 4) stacked [eq, p0, q0, p1, q1] MLEs. Returns (3, 4)."""
+    pairs = cols.reshape(cols.shape[0], -1, 2, 4)
+    t0, t1 = pairs[:, :, 0], pairs[:, :, 1]
+    d = jf.ext_sub(t1, t0)
+    out = []
+    for x in (1, 2, 3):
+        cx = t1 if x == 1 else jf.ext_add(t0, jf.ext_scale(d, jf.const(x)))
+        e, a0, b0, a1, b1 = cx[0], cx[1], cx[2], cx[3], cx[4]
+        p_prev = jf.ext_add(jf.ext_mul(a0, b1), jf.ext_mul(a1, b0))
+        q_prev = jf.ext_mul(b0, b1)
+        val = jf.ext_mul(e, jf.ext_add(p_prev, jf.ext_mul(lam_dev, q_prev)))
+        out.append(jf.ext_sum(val, axis=0))
+    return jnp.stack(out)
+
+
+@jax.jit
+def _gkr_fold(cols, r_dev):
+    """Fold every column MLE by r: (5, m, 4) -> (5, m/2, 4)."""
+    pairs = cols.reshape(cols.shape[0], -1, 2, 4)
+    t0, t1 = pairs[:, :, 0], pairs[:, :, 1]
+    return jf.ext_add(t0, jf.ext_mul(jf.ext_sub(t1, t0), r_dev))
 
 
 @dataclass
@@ -102,37 +130,26 @@ def fractional_sumcheck(
 
         round_polys: List[List[np.ndarray]] = []
         rho: List[np.ndarray] = []
-        cols = [eq_tab, p0, q0, p1v, q1v]
+        # all five column MLEs share length 2^rnd: batch them into one
+        # (5, m, 4) array so each sub-round is TWO jitted calls (eval+fold)
+        # instead of ~30 inlined slice/mul chains per column
+        cols = jnp.stack([jnp.asarray(c) for c in (eq_tab, p0, q0, p1v, q1v)])
         for sub in range(rnd):
-            evals_at = []
-            for x in (1, 2, 3):
-                xs = jf.const(x)
-
-                def at_x(v):
-                    pairs = v.reshape(-1, 2, 4)
-                    t0, t1 = pairs[:, 0], pairs[:, 1]
-                    if x == 1:
-                        return t1
-                    return jf.ext_add(t0, jf.ext_scale(jf.ext_sub(t1, t0), xs))
-
-                e, a0, b0, a1, b1 = (at_x(v) for v in cols)
-                p_prev = jf.ext_add(jf.ext_mul(a0, b1), jf.ext_mul(a1, b0))
-                q_prev = jf.ext_mul(b0, b1)
-                val = jf.ext_mul(e, jf.ext_add(p_prev, jf.ext_mul(lam_dev, q_prev)))
-                evals_at.append(_ef(jf.ext_sum(val, axis=0)))
+            evals3 = _gkr_round_evals(cols, jnp.asarray(lam_dev))
+            evals_at = [_ef(evals3[i]) for i in range(3)]
             for c in evals_at:
                 transcript.observe_ext(c)
             round_polys.append(evals_at)
             r_sub = transcript.sample_ext()
             rho.append(r_sub)
             r_dev = v.ef_dev(r_sub)
-            cols = [fold_mle_vec(v, r_dev) for v in cols]
+            cols = _gkr_fold(cols, jnp.asarray(r_dev))
 
         cl = GkrLayerClaims(
-            p_xi_0=_ef(cols[1][0]),
-            q_xi_0=_ef(cols[2][0]),
-            p_xi_1=_ef(cols[3][0]),
-            q_xi_1=_ef(cols[4][0]),
+            p_xi_0=_ef(cols[1, 0]),
+            q_xi_0=_ef(cols[2, 0]),
+            p_xi_1=_ef(cols[3, 0]),
+            q_xi_1=_ef(cols[4, 0]),
         )
         claims.append(cl)
         for c in (cl.p_xi_0, cl.q_xi_0, cl.p_xi_1, cl.q_xi_1):

@@ -229,16 +229,7 @@ def prove_zerocheck_and_logup(
             if not t.dag.interactions:
                 continue
             h = t.height
-            idxv = np.arange(h)
-            sels = jf.const_arr(
-                np.stack(
-                    [
-                        (idxv == 0).astype(np.uint64),
-                        (idxv != h - 1).astype(np.uint64),
-                        (idxv == h - 1).astype(np.uint64),
-                    ]
-                )
-            )
+            sels = selectors_matrix(h, 0)  # (3, h), device iota — no literal
             parts = t.base_parts()
             pairs = [
                 (m, rot1(m) if t.needs_next else None) for m in parts
@@ -254,31 +245,42 @@ def prove_zerocheck_and_logup(
                 denoms_flat.append(h_beta)
                 flat_offsets[(t_idx, s_idx)] = (offset, h)
                 offset += h
-        counts_dev = jnp.concatenate(
-            [c.reshape(-1) for c in counts_flat] + [jnp.zeros((1,), jnp.uint32)]
-        )
-        denoms_dev = jnp.concatenate(
-            [d.reshape(-1, 4) for d in denoms_flat]
-            + [jnp.zeros((1, 4), jnp.uint32)]
-        )
-        sentinel = counts_dev.shape[0] - 1
+        # The interactions layout (threshold 0, height-desc dims) places the
+        # lifted interaction slices CONTIGUOUSLY in one stacked column, so
+        # the GKR input vector is just the in-order concatenation of each
+        # slice tiled to its lifted length (norm 1/reps), zero-padded at the
+        # tail — no index-map gather, no O(2^n_logup) trace-time literal.
         H_logup = 1 << (l_skip + n_logup)
-        src = np.full(H_logup, sentinel, dtype=np.int64)
-        norm = np.zeros(H_logup, dtype=np.uint64)
+        flat_by_key = {
+            key: (counts_flat[i], denoms_flat[i])
+            for i, key in enumerate(flat_offsets)
+        }
+        p_blocks = []
+        q_blocks = []
+        pos = 0
         for t_idx, s_idx, sl in inter_layout.sorted_cols:
-            base, h = flat_offsets[(t_idx, s_idx)]
+            assert sl.col_idx == 0 and sl.row_idx == pos, "non-contiguous"
+            count, h_beta = flat_by_key[(t_idx, s_idx)]
+            _, h = flat_offsets[(t_idx, s_idx)]
             length = 1 << sl.log_height  # layout threshold 0: no striding
             reps = length // h
-            pos = sl.row_idx + np.arange(length)
-            src[pos] = base + (np.arange(length) % h)
-            norm[pos] = pow(reps, P - 2, P)
-        p_dev = jf.mul(
-            jnp.take(counts_dev, jnp.asarray(src)), jf.const_arr(norm)
-        )
+            block = count.reshape(-1)
+            qblk = h_beta.reshape(-1, 4)
+            if reps > 1:
+                block = jnp.tile(block, reps)
+                qblk = jnp.tile(qblk, (reps, 1))
+                block = jf.mul(block, jf.const(pow(reps, P - 2, P)))
+            p_blocks.append(block)
+            q_blocks.append(qblk)
+            pos += length
+        if pos < H_logup:
+            p_blocks.append(jnp.zeros((H_logup - pos,), jnp.uint32))
+            q_blocks.append(jnp.zeros((H_logup - pos, 4), jnp.uint32))
+        p_dev = jnp.concatenate(p_blocks)
         p_dev = jnp.stack(
             [p_dev] + [jnp.zeros_like(p_dev)] * 3, axis=-1
         )  # embed base -> EF
-        q_dev = jnp.take(denoms_dev, jnp.asarray(src), axis=0)
+        q_dev = jnp.concatenate(q_blocks)
         q_dev = jf.ext_add(q_dev, v.ef_dev(alpha))
         with metrics.span("fractional_sumcheck"):
             frac = fractional_sumcheck(transcript, p_dev, q_dev, assert_zero=True)

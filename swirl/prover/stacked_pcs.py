@@ -156,29 +156,41 @@ def stack_traces(
     n_stack: int,
     traces: Sequence[jnp.ndarray],  # each (width_t, height_t) Monty, height desc
 ) -> Tuple[jnp.ndarray, StackedLayout]:
-    """Scatter trace columns into the stacked matrix via one device gather."""
+    """Stack trace columns into the stacked matrix by pure reshape/concat.
+
+    The greedy layout (``StackedLayout.new``) places slices at
+    monotonically advancing (col, row) positions with no inter-slice gaps:
+    slice lengths are powers of two, heights are sorted descending, so
+    every ``row_idx`` is a multiple of the current slice length and slices
+    never straddle a stacked-column boundary. In column-major flat order
+    the stacked matrix is therefore EXACTLY the concatenation of each
+    trace's flat columns (short traces zero-interleaved to their stride),
+    padded with zeros to ``width * height``. That makes stacking free of
+    gathers and of trace-time index literals — the reference's
+    column-copy loops (``stacked_pcs.rs:294``) become O(1) reshapes.
+    """
     dims = [(int(t.shape[0]), int(t.shape[1]).bit_length() - 1) for t in traces]
     layout = StackedLayout.new(l_skip, l_skip + n_stack, dims)
     height = layout.height
     width = layout.width
 
-    # flat source buffer: traces flattened in (col, row) order, concatenated
-    offsets = np.cumsum([0] + [t.shape[0] * t.shape[1] for t in traces])
-    flat = jnp.concatenate([t.reshape(-1) for t in traces])
-    # one zero sentinel at the end
-    flat = jnp.concatenate([flat, jnp.zeros((1,), jnp.uint32)])
-    zero_pos = flat.shape[0] - 1
-
-    src = np.full((width, height), zero_pos, dtype=np.int64)
-    for mat_idx, j, s in layout.sorted_cols:
-        h_t = 1 << s.log_height
-        base = offsets[mat_idx] + j * h_t
-        stride = s.stride(l_skip)
-        pos = s.row_idx + stride * np.arange(h_t)
-        src[s.col_idx, pos] = base + np.arange(h_t)
-    stacked = jnp.take(flat, jnp.asarray(src.reshape(-1)), axis=0).reshape(
-        width, height
-    )
+    blocks = []
+    for t in traces:
+        h_t = int(t.shape[1])
+        stride = (1 << l_skip) // h_t if h_t < (1 << l_skip) else 1
+        if stride == 1:
+            blocks.append(t.reshape(-1))
+        else:
+            # strided short columns: value i of each column sits at offset
+            # stride*i inside its 2^l_skip-row slice, zeros in between
+            ex = jnp.zeros((t.shape[0], h_t, stride), jnp.uint32)
+            ex = ex.at[:, :, 0].set(t)
+            blocks.append(ex.reshape(-1))
+    flat = jnp.concatenate(blocks) if blocks else jnp.zeros((0,), jnp.uint32)
+    pad = width * height - int(flat.shape[0])
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), jnp.uint32)])
+    stacked = flat.reshape(width, height)
     from ..parallel import annotate
 
     return annotate.rows(stacked, axis=1), layout

@@ -225,6 +225,26 @@ def eq_pows_hypercube_dev(z, n: int, base_field: bool):
     return eq_hypercube_dev(vec)
 
 
+def eq_pows_base_batch_dev(zvec, n: int):
+    """Batched eq(pow(z), y) tables for a vector of BASE-field points.
+
+    zvec: (Q,) device Monty scalars. Returns (Q, 2^n) base-field Monty —
+    row i is the eq table at (z_i, z_i^2, z_i^4, ...). One doubling ladder
+    for all Q points (the per-query ladders dominated the WHIR trace's op
+    count; the values are identical)."""
+    q = zvec.shape[0]
+    one = jf.const(1)
+    out = jnp.full((q, 1), one, jnp.uint32)
+    z = zvec
+    for _ in range(n):
+        x = z[:, None]
+        lo = jf.mul(out, jf.sub(jnp.uint32(one), x))
+        hi = jf.mul(out, x)
+        out = jnp.concatenate([lo, hi], axis=1)  # new bit = high index bit
+        z = jf.mul(z, z)
+    return out
+
+
 def coset_eval_chunks(mat, l_skip: int, coset_shifts: Sequence[int], is_rot: bool):
     """Univariate-skip round-0 evaluation grid.
 

@@ -24,7 +24,12 @@ from .errors import WhirProverError
 from .merkle import build_merkle_tree, get_opened_rows
 from .ntt import mobius_transform, ntt, zeta_transform
 from .stacked_pcs import StackedPcsData, rs_message
-from .sumcheck import eq_pows_hypercube_dev, fold_mle_vec, mobius_eq_hypercube_dev
+from .sumcheck import (
+    eq_pows_base_batch_dev,
+    eq_pows_hypercube_dev,
+    fold_mle_vec,
+    mobius_eq_hypercube_dev,
+)
 from .vmode import vm
 
 
@@ -185,20 +190,38 @@ def prove_whir_opening(
 
         gamma = transcript.sample_ext()
         if not is_last:
-            # w += gamma * eq(pow(z0)) + sum_i gamma^{2+i} * eq(pow(z_i))
+            # w += gamma * eq(pow(z0)) + sum_i gamma^{2+i} * eq(pow(z_i)).
+            # The query points z_i are base-field (powers of omega): build
+            # their eq tables with ONE batched doubling ladder per chunk and
+            # contract against the gamma powers — identical field values to
+            # the per-query accumulation (modular addition is associative),
+            # ~Q x fewer traced ops.
             upd = jf.ext_mul(
                 v.ef_dev(gamma),
                 eq_pows_hypercube_dev(z0, cur_m, base_field=False),
             )
             gamma_pows = v.ext.epowers(gamma, len(zs) + 2)
-            for i, zi in enumerate(zs):
-                upd = jf.ext_add(
-                    upd,
-                    jf.ext_mul(
-                        v.ef_dev(gamma_pows[i + 2]),
-                        eq_pows_hypercube_dev(zi, cur_m, base_field=True),
-                    ),
+            if zs:
+                if v.is_trace:
+                    zs_vec = jnp.stack(zs)
+                else:
+                    zs_vec = jnp.asarray(
+                        jf.const_arr(np.asarray(zs, dtype=np.uint64))
+                    )
+                gp_dev = v.const_vec(
+                    v.stack([gamma_pows[i + 2] for i in range(len(zs))])
                 )
+                chunk = 32  # bounds the (chunk, 2^m, 4) contraction buffer
+                for base in range(0, len(zs), chunk):
+                    zc = zs_vec[base : base + chunk]
+                    gc = gp_dev[base : base + chunk]
+                    tab = eq_pows_base_batch_dev(zc, cur_m)  # (q, 2^m)
+                    upd = jf.ext_add(
+                        upd,
+                        jf.ext_sum(
+                            jf.mul(tab[:, :, None], gc[:, None, :]), axis=0
+                        ),
+                    )
             w_evals = jf.ext_add(w_evals, upd)
         log_rs -= 1
 

@@ -315,6 +315,82 @@ def calculate_soundness(
     )
 
 
+def format_soundness_report(
+    params: SystemParams,
+    report: SoundnessReport,
+    *,
+    max_num_constraints_per_air: int = 0,
+    num_airs: int = 0,
+    max_log_trace_height: int = 0,
+    num_trace_columns: int = 0,
+    num_stacked_columns: int = 0,
+    n_logup: int = 0,
+) -> str:
+    """Human-readable soundness report (peer of the reference's
+    ``print_soundness_report``, ``soundness/calculator.rs:846``): system
+    parameters, proving context, per-component security bits, the WHIR
+    error-source breakdown, and a per-round WHIR query/rate table."""
+    w = params.whir
+    lines = [
+        "=== SWIRL Proof System Soundness Report ===",
+        "",
+        "System Parameters:",
+        f"  l_skip: {params.l_skip}",
+        f"  n_stack: {params.n_stack}",
+        f"  log_blowup: {params.log_blowup}",
+        f"  WHIR k: {w.k}",
+        f"  WHIR rounds: {len(w.rounds)}",
+        f"  WHIR mu_pow_bits: {w.mu_pow_bits}",
+        f"  WHIR query_phase_pow_bits: {w.query_phase_pow_bits}",
+        f"  WHIR folding_pow_bits: {w.folding_pow_bits}",
+        f"  LogUp pow_bits: {params.logup.pow_bits}",
+        f"  LogUp max_interaction_count: {params.logup.max_interaction_count}",
+        f"  LogUp log_max_message_length: {params.logup.log_max_message_length}",
+        f"  max_constraint_degree: {params.max_constraint_degree}",
+        "",
+        "Proving Context:",
+        f"  max_num_constraints_per_air: {max_num_constraints_per_air}",
+        f"  num_airs: {num_airs}",
+        f"  max_log_trace_height: {max_log_trace_height}",
+        f"  num_trace_columns: {num_trace_columns}",
+        f"  num_stacked_columns: {num_stacked_columns}",
+        f"  n_logup (GKR depth): {n_logup}",
+        "",
+        "Security Analysis (bits):",
+        f"  LogUp (alpha/beta + PoW):    {report.logup_bits:.1f}",
+        f"  GKR sumcheck:                {report.gkr_sumcheck_bits:.1f}",
+        f"  GKR batching (mu/lambda):    {report.gkr_batching_bits:.1f}",
+        f"  ZeroCheck sumcheck:          {report.zerocheck_sumcheck_bits:.1f}",
+        f"  Fused boundary/batching:     {report.constraint_batching_bits:.1f}",
+        f"  Stacked reduction:           {report.stacked_reduction_bits:.1f}",
+        f"  WHIR (round-by-round min):   {report.whir_bits:.1f}",
+        "",
+        f"  TOTAL SECURITY:              {report.total_bits:.1f} bits",
+        "",
+        "WHIR Error Source Breakdown:",
+        f"  Query error:          {report.whir.query_bits:.1f} bits",
+        f"  Proximity gaps:       {report.whir.proximity_gaps_bits:.1f} bits",
+        f"  Sumcheck error:       {report.whir.sumcheck_bits:.1f} bits",
+        f"  Min eps_fold:         {report.whir.fold_rbr_bits:.1f} bits",
+        f"  OOD error:            {report.whir.ood_rbr_bits:.1f} bits",
+        f"  gamma batching error: {report.whir.gamma_batching_bits:.1f} bits",
+        f"  mu batching error:    {report.whir.mu_batching_bits:.1f} bits",
+        "",
+        "WHIR Round Breakdown:",
+    ]
+    log_inv_rate = params.log_blowup
+    for rnd, rc in enumerate(w.rounds):
+        regime = w.proximity.in_round(rnd)
+        query_sec = rc.num_queries * regime.per_query_security_bits(log_inv_rate)
+        lines.append(
+            f"  Round {rnd} | rate=2^-{log_inv_rate:<2} | "
+            f"queries={rc.num_queries:<3} | query_sec={query_sec:5.1f} | "
+            f"pow={w.query_phase_pow_bits} | fold_pow={w.folding_pow_bits}"
+        )
+        log_inv_rate += w.k - 1
+    return "\n".join(lines)
+
+
 def min_whir_queries(
     params: SystemParams, target_bits: int
 ) -> int:

@@ -43,6 +43,11 @@ from ..fields import jfield as jf
 from ..fields.babybear import P, two_adic_generator
 
 LANE = 128
+# Scoped-VMEM budget for the NTT kernels. The default Mosaic limit (16 MB)
+# is exceeded by the unrolled Stockham ladder's live stage buffers at
+# n2 = 2^12 (observed 16.9 MB on v5e); the hardware has 128 MB of VMEM,
+# so grant the ladder headroom explicitly.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 # minimum log-size for which the four-step kernel engages; below this the
 # XLA butterfly path is already cheap.
 MIN_LOG_N = 16
@@ -178,6 +183,7 @@ def _ntt_fn(log_n: int, batch: int, inverse: bool, scale_inv_n: bool,
                 (1, LANE, n1), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((batch, n2, n1), jnp.uint32),
+            compiler_params=_VMEM_LIMIT,
             interpret=interpret,
         )(xm, *tw1, t_mat)
         out = pl.pallas_call(
@@ -194,6 +200,7 @@ def _ntt_fn(log_n: int, batch: int, inverse: bool, scale_inv_n: bool,
                 (1, n2, LANE), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((batch, n2, n1), jnp.uint32),
+            compiler_params=_VMEM_LIMIT,
             interpret=interpret,
         )(a_t, *tw2)
         return out.reshape(batch, n1 * n2)
@@ -259,6 +266,7 @@ def _kernel1_only(log_n: int, batch: int, inverse: bool, scale_inv_n: bool,
                 (1, LANE, n1), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((batch, n2, n1), jnp.uint32),
+            compiler_params=_VMEM_LIMIT,
             interpret=interpret,
         )(xm, *tw1, t_mat)
 

@@ -253,3 +253,44 @@ class TestStacking:
         assert list(host[0]) == [1, 0, 2, 0, 3, 0, 4, 0]
         assert list(host[1]) == [5, 0, 0, 0, 6, 0, 0, 0]
         assert list(host[2]) == [7, 0, 0, 0, 0, 0, 0, 0]
+
+    def test_stacked_matches_index_oracle(self):
+        """The reshape/concat stacking must equal a per-slice index-map
+        placement (the reference's column-copy semantics,
+        stacked_pcs.rs:294) on layouts with striding and multi-matrix
+        wrapping."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(7)
+
+        def oracle(l_skip, n_stack, traces):
+            dims = [
+                (t.shape[0], int(t.shape[1]).bit_length() - 1) for t in traces
+            ]
+            layout = StackedLayout.new(l_skip, l_skip + n_stack, dims)
+            out = np.zeros((layout.width, layout.height), np.uint32)
+            for mat_idx, j, s in layout.sorted_cols:
+                h_t = 1 << s.log_height
+                stride = s.stride(l_skip)
+                out[s.col_idx, s.row_idx + stride * np.arange(h_t)] = traces[
+                    mat_idx
+                ][j]
+            return out
+
+        cases = [
+            (2, 4, [(3, 6), (2, 4), (5, 2), (4, 1), (2, 0)]),
+            (4, 5, [(7, 9), (1, 6), (3, 4), (2, 2)]),
+            (2, 3, [(4, 5)]),
+            (3, 6, [(2, 9), (2, 9), (1, 3)]),
+        ]
+        for l_skip, n_stack, dims in cases:
+            traces = [
+                rng.integers(0, 2**31, (w, 1 << lh), dtype=np.uint32)
+                for w, lh in dims
+            ]
+            got, _ = stack_traces(
+                l_skip, n_stack, [jnp.asarray(t) for t in traces]
+            )
+            assert np.array_equal(
+                np.asarray(got), oracle(l_skip, n_stack, traces)
+            ), (l_skip, n_stack, dims)

@@ -16,6 +16,7 @@ from swirl.soundness import (
     calculate_soundness,
     combine_security_bits,
     effective_pow_bits,
+    format_soundness_report,
     log2_add,
     min_whir_queries,
 )
@@ -72,6 +73,23 @@ class TestProductionPresets:
     def test_min_whir_queries_monotone(self):
         p = app_params_with_100_bits_security(24)
         assert min_whir_queries(p, 100) > min_whir_queries(p, 50)
+
+    def test_format_soundness_report(self):
+        p = app_params_with_100_bits_security(24)
+        rep = calculate_soundness(
+            p, max_log_trace_height=24,
+            n_logup=max(24 - p.l_skip, 0), **APP_ASSUMPTIONS,
+        )
+        text = format_soundness_report(
+            p, rep, max_log_trace_height=24,
+            n_logup=max(24 - p.l_skip, 0), **APP_ASSUMPTIONS,
+        )
+        assert "TOTAL SECURITY" in text
+        assert f"l_skip: {p.l_skip}" in text
+        # one table line per WHIR round
+        assert sum(l.startswith("  Round ") for l in text.splitlines()) == len(
+            p.whir.rounds
+        )
 
 
 class TestVkAudit:
