@@ -24,10 +24,18 @@ Env knobs: SWIRL_BENCH_LOG_ROWS (20), SWIRL_BENCH_WIDTH (64),
 SWIRL_BENCH_REPEATS (3), SWIRL_BENCH_MODE (jit|segmented|eager, default
 segmented), SWIRL_BENCH_FALLBACK=commit forces the commit-kernel micro
 bench (also the automatic fallback if the e2e path fails to compile).
+
+Robustness: with no SWIRL_BENCH_STAGE set, main() is an ORCHESTRATOR that
+runs each attempt (e2e at the target shape, e2e at a smaller shape, commit
+kernel) in a KILLABLE subprocess with a hard wall-clock budget, and relays
+the first JSON line a child produces. A hang anywhere (tunnel stall, remote
+compile helper, pathological dispatch) costs one budget, not the round —
+SIGALRM can't interrupt a blocked C++ compile call, subprocess SIGKILL can.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -207,15 +215,90 @@ def commit_bench():
     )
 
 
-def main():
-    if os.environ.get("SWIRL_BENCH_FALLBACK") == "commit":
-        return commit_bench()
+def _run_stage(stage: str, budget_s: float, extra_env: dict) -> str | None:
+    """Run one attempt in a killable child; return its JSON line or None."""
+    env = dict(os.environ)
+    env["SWIRL_BENCH_STAGE"] = stage
+    env.update({k: str(v) for k, v in extra_env.items()})
+    t0 = time.perf_counter()
     try:
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            stdout=subprocess.PIPE,
+            stderr=sys.stderr,
+            timeout=budget_s,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            f"bench: stage {stage} {extra_env} exceeded {budget_s:.0f}s budget; "
+            "killed",
+            file=sys.stderr,
+        )
+        return None
+    dt = time.perf_counter() - t0
+    out = res.stdout.decode(errors="replace")
+    for line in out.splitlines():
+        line = line.strip()
+        if line.startswith("{") and '"metric"' in line:
+            print(
+                f"bench: stage {stage} {extra_env} ok in {dt:.0f}s",
+                file=sys.stderr,
+            )
+            return line
+    print(
+        f"bench: stage {stage} {extra_env} rc={res.returncode} in {dt:.0f}s, "
+        "no metric line",
+        file=sys.stderr,
+    )
+    return None
+
+
+def main():
+    stage = os.environ.get("SWIRL_BENCH_STAGE")
+    if stage == "e2e":
         return e2e_bench()
-    except Exception as e:  # compile/runtime failures on constrained devchips
-        print(f"bench: e2e path failed ({type(e).__name__}: {e}); "
-              "falling back to commit kernel", file=sys.stderr)
+    if stage == "commit" or os.environ.get("SWIRL_BENCH_FALLBACK") == "commit":
         return commit_bench()
+    if stage is not None:
+        print(f"bench: unknown stage {stage!r}", file=sys.stderr)
+        return 2
+
+    # Orchestrator: attempt ladder, hard per-attempt budgets, one JSON line.
+    total_budget = float(os.environ.get("SWIRL_BENCH_TOTAL_BUDGET_S", "520"))
+    t_start = time.perf_counter()
+
+    def left():
+        return total_budget - (time.perf_counter() - t_start)
+
+    attempts = [
+        ("e2e", {"SWIRL_BENCH_LOG_ROWS": LOG_ROWS},
+         float(os.environ.get("SWIRL_BENCH_E2E_BUDGET_S", "300"))),
+        ("e2e", {"SWIRL_BENCH_LOG_ROWS": max(LOG_ROWS - 4, 12)}, 150.0),
+        ("commit", {"SWIRL_BENCH_LOG_ROWS": LOG_ROWS}, 10_000.0),
+    ]
+    for stage_name, env_over, budget in attempts:
+        # always leave enough room for the known-good commit fallback
+        reserve = 120.0 if stage_name != "commit" else 0.0
+        budget = min(budget, left() - reserve)
+        if budget <= 10.0:
+            continue
+        line = _run_stage(stage_name, budget, env_over)
+        if line is not None:
+            print(line)
+            return 0
+    print(
+        json.dumps(
+            {
+                "metric": "bench_failed_all_stages",
+                "value": 0.0,
+                "unit": "s",
+                "vs_baseline": 0.0,
+            }
+        )
+    )
+    return 1
 
 
 if __name__ == "__main__":

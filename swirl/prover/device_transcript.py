@@ -81,6 +81,35 @@ def _grind_batch_jit(absorb_idx: int, sample_idx: int, bits: int, batch: int):
     return step
 
 
+def duplex_absorb_sample_ext(state, flat):
+    """Traced helper for scan-tier sumcheck bodies: from ``absorb_idx == 0``
+    absorb `flat` (F,) Monty felts in overwrite-duplex chunks, then squeeze
+    one EF challenge. Returns ``(state, r)``.
+
+    Bit-identical to F sequential :meth:`DeviceTranscript.observe` calls
+    followed by :meth:`DeviceTranscript.sample_ext`; the exit cursor state
+    is uniformly ``absorb_idx=0, sample_idx=RATE-EF_D`` for any static F>0,
+    which is what makes per-round sumcheck bodies scan-able."""
+    from ..hash import jposeidon2 as jp2
+
+    f_len = int(flat.shape[0])
+    assert f_len > 0
+    a = 0
+    off = 0
+    while off < f_len:
+        c = min(RATE - a, f_len - off)
+        state = jax.lax.dynamic_update_slice(state, flat[off : off + c], (a,))
+        a += c
+        off += c
+        if a == RATE:
+            state = jp2.permute(state)
+            a = 0
+    if a != 0:
+        state = jp2.permute(state)
+    r = state[RATE - EF_D : RATE][::-1]
+    return state, r
+
+
 class DeviceTranscript:
     """Traced duplex sponge (overwrite mode, WIDTH 16 / RATE 8)."""
 

@@ -55,6 +55,80 @@ def _gkr_fold(cols, r_dev):
     return jf.ext_add(t0, jf.ext_mul(jf.ext_sub(t1, t0), r_dev))
 
 
+# sample_idx value after any EF squeeze (RATE - EF_D)
+_EF_SAMPLE_IDX = 4
+
+
+def _scan_ok(transcript) -> bool:
+    """The lax.scan tail path applies only to the fused (trace-mode) prover
+    driving a DeviceTranscript; host transcripts replay events eagerly."""
+    from .device_transcript import DeviceTranscript
+
+    return isinstance(transcript, DeviceTranscript)
+
+
+# Tail sub-rounds with at most this many ACTIVE PAIRS run inside one
+# ``lax.scan`` body per layer (fixed-size buffer, masked) instead of being
+# unrolled — the unrolled pyramid is O(total_rounds^2) traced bodies, which
+# is what blew up trace+compile time of the fused prover at tall heights.
+# 2^12 pairs * 5 cols * 4 limbs * 4 B = 320 KiB: VMEM-resident.
+_TAIL_LOG = 12
+
+
+def _layer_rounds_scan(state0, cols, lam_dev, num_subs: int):
+    """All `num_subs` masked sub-rounds of one GKR layer as ONE lax.scan.
+
+    state0: (16,) sponge state entering with absorb_idx == 0 (guaranteed:
+    every entry point follows a ``sample_ext``). cols: (5, B, 4) Monty with
+    the ACTIVE entries (2^num_subs of them) contiguous at the front.
+
+    Each step is bit-identical to the unrolled path: absorb the 3 round-poly
+    EF evals (12 felts: fill rate, permute, fill 4), squeeze one EF
+    challenge, fold. Returns (final sponge state, final cols buffer,
+    (num_subs, 3, 4) evals, (num_subs, 4) challenges).
+    """
+    from .device_transcript import duplex_absorb_sample_ext
+
+    n_pairs = cols.shape[1] // 2
+
+    def body(carry, _):
+        state, cols, active_pairs = carry
+        mask = jax.lax.iota(jnp.uint32, n_pairs) < active_pairs  # bool
+        pairs = cols.reshape(5, n_pairs, 2, 4)
+        t0, t1 = pairs[:, :, 0], pairs[:, :, 1]
+        d = jf.ext_sub(t1, t0)
+        evs = []
+        for x in (1, 2, 3):
+            cx = t1 if x == 1 else jf.ext_add(t0, jf.ext_scale(d, jf.const(x)))
+            e, a0, b0, a1, b1 = cx[0], cx[1], cx[2], cx[3], cx[4]
+            p_prev = jf.ext_add(jf.ext_mul(a0, b1), jf.ext_mul(a1, b0))
+            q_prev = jf.ext_mul(b0, b1)
+            val = jf.ext_mul(e, jf.ext_add(p_prev, jf.ext_mul(lam_dev, q_prev)))
+            evs.append(
+                jf.ext_sum(
+                    jnp.where(mask[:, None], val, jnp.uint32(0)), axis=0
+                )
+            )
+        evals3 = jnp.stack(evs)  # (3, 4) Monty
+
+        # duplex absorb of 12 felts from absorb_idx=0, then one EF squeeze —
+        # the exact DeviceTranscript event sequence (observe_ext x3,
+        # sample_ext), which is cursor-uniform per sub-round
+        state, r = duplex_absorb_sample_ext(state, evals3.reshape(-1))
+
+        folded = jf.ext_add(t0, jf.ext_mul(d, r))  # (5, n_pairs, 4)
+        cols = jnp.concatenate([folded, jnp.zeros_like(folded)], axis=1)
+        return (state, cols, active_pairs >> 1), (evals3, r)
+
+    (state, cols, _), (evals_all, r_all) = jax.lax.scan(
+        body,
+        (state0, cols, jnp.uint32(n_pairs)),
+        None,
+        length=num_subs,
+    )
+    return state, cols, evals_all, r_all
+
+
 @dataclass
 class FracSumcheckResult:
     fractional_sum: Tuple[np.ndarray, np.ndarray]  # (p, q) EF host
@@ -134,7 +208,11 @@ def fractional_sumcheck(
         # (5, m, 4) array so each sub-round is TWO jitted calls (eval+fold)
         # instead of ~30 inlined slice/mul chains per column
         cols = jnp.stack([jnp.asarray(c) for c in (eq_tab, p0, q0, p1v, q1v)])
-        for sub in range(rnd):
+
+        # head: unroll while the buffer is big (shapes shrink geometrically,
+        # so these few big sub-rounds carry ~all the FLOPs at full rate)
+        head = max(0, rnd - _TAIL_LOG) if _scan_ok(transcript) else rnd
+        for sub in range(head):
             evals3 = _gkr_round_evals(cols, jnp.asarray(lam_dev))
             evals_at = [_ef(evals3[i]) for i in range(3)]
             for c in evals_at:
@@ -144,6 +222,19 @@ def fractional_sumcheck(
             rho.append(r_sub)
             r_dev = v.ef_dev(r_sub)
             cols = _gkr_fold(cols, jnp.asarray(r_dev))
+
+        # tail: one masked lax.scan body per layer (bit-identical events)
+        if head < rnd:
+            assert transcript.absorb_idx == 0
+            state, cols, evals_all, r_all = _layer_rounds_scan(
+                transcript.state, cols, jnp.asarray(lam_dev), rnd - head
+            )
+            transcript.state = state
+            transcript.absorb_idx = 0
+            transcript.sample_idx = _EF_SAMPLE_IDX
+            for i in range(rnd - head):
+                round_polys.append([_ef(evals_all[i, j]) for j in range(3)])
+                rho.append(_ef(r_all[i]))
 
         cl = GkrLayerClaims(
             p_xi_0=_ef(cols[1, 0]),

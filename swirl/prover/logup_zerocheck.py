@@ -166,6 +166,237 @@ def _validate_trace_dag(t: TraceProver) -> None:
             raise LogupZerocheckError(f"air {t.air_id}: challenge not supported")
 
 
+def _mle_rounds_scan(
+    transcript,
+    pv,
+    traces,
+    xi,
+    l_skip,
+    mu_pows,
+    lambda_pows_dev,
+    beta_pows_dev,
+    bus_terms_host,
+    eq_3b_per_trace,
+    d_global,
+    s_deg,
+    rnd0,
+    L,
+    prev_s_eval,
+    r_out,
+    polys_out,
+):
+    """Rounds rnd0..rnd0+L-1 of the batch sumcheck as ONE ``lax.scan``.
+
+    Preconditions (enforced by the caller): trace mode with a
+    DeviceTranscript entering at absorb_idx == 0, every trace active
+    (rnd <= t.n for all traces, so no tilde tails, sp_tail == 0 and
+    norm == 1), and per-trace buffers front-aligned Monty arrays. Events
+    and field values are bit-identical to ``_round_unrolled``.
+
+    Appends the per-round challenges to `r_out`, the round polys to
+    `polys_out`, and the eq accumulators to ``pv.eq_ns``/``pv.eq_sharp_ns``;
+    writes folded buffers back onto the traces; returns the new
+    prev_s_eval.
+    """
+    import jax
+
+    from ..fields import text
+    from .. import tpoly
+    from .device_transcript import duplex_absorb_sample_ext
+    from .vmode import vm as _vm
+
+    v = _vm()
+    num_traces = len(traces)
+
+    # per-round constants, stacked over the scan axis
+    xi_rounds = jnp.stack(
+        [jnp.asarray(xi[l_skip + rnd0 - 1 + j]) for j in range(L)]
+    )  # (L, 4)
+    one = jnp.asarray(text.eone())
+    b_c_rounds = jnp.stack(
+        [text.esub(one, xi_rounds[j]) for j in range(L)]
+    )  # 1 - xi
+    inv_b_c_rounds = jnp.stack(
+        [text.einv(b_c_rounds[j]) for j in range(L)]
+    )
+    a_c_rounds = jnp.stack(
+        [text.esub(xi_rounds[j], b_c_rounds[j]) for j in range(L)]
+    )
+
+    # per-trace stacked eq tables, zero-padded to the fixed buffer width
+    # (zero weights mask the garbage back-half of the folded buffers)
+    eq_tabs = []
+    for t in traces:
+        n_lift = t.n_lift
+        b_half = int(t.sels.shape[1]) // 2  # buffer pairs
+        tabs = []
+        for j in range(L):
+            tab = pv.eq_table(l_skip + rnd0 + j, l_skip + n_lift)
+            pad = b_half - int(tab.shape[0])
+            if pad:
+                tab = jnp.concatenate(
+                    [tab, jnp.zeros((pad, 4), jnp.uint32)], axis=0
+                )
+            tabs.append(tab)
+        eq_tabs.append(jnp.stack(tabs))  # (L, b_half, 4)
+
+    bus_terms = [
+        bus_terms_host(t) if t.dag.interactions else None for t in traces
+    ]
+    eq3b = [
+        v.const_vec(eq_3b_per_trace[i]) if traces[i].dag.interactions else None
+        for i in range(num_traces)
+    ]
+
+    def trace_bufs(t):
+        return (
+            t.sels,
+            t.prep_pair,
+            tuple(t.main_pairs),
+        )
+
+    def body(carry, js):
+        state, bufs, eq_n, eq_sharp_n, prev_s = carry
+        j = js
+
+        sp_head_zc = [jnp.asarray(text.ezero()) for _ in range(d_global)]
+        sp_head_logup = [jnp.asarray(text.ezero()) for _ in range(d_global)]
+        new_bufs = []
+        folds_pending = []
+        for t_idx, t in enumerate(traces):
+            sels, prep_pair, main_pairs = bufs[t_idx]
+            has_int = bool(t.dag.interactions)
+            eq_tab = eq_tabs[t_idx][j]  # (b_half, 4), zero-padded
+            zc_w = mu_pows[2 * num_traces + t_idx]
+            nm_w = mu_pows[2 * t_idx]
+            dn_w = mu_pows[2 * t_idx + 1]
+            for xi_i, x in enumerate(range(1, d_global + 1)):
+                sels_x = interp_mle_at_int(sels, x)
+                all_pairs = ([prep_pair] if t.has_preprocessed() else []) + list(
+                    main_pairs
+                )
+                pairs_x = [
+                    (
+                        interp_mle_at_int(local, x),
+                        interp_mle_at_int(nxt, x) if nxt is not None else None,
+                    )
+                    for local, nxt in all_pairs
+                ]
+                prep_x = pairs_x[0] if t.has_preprocessed() else None
+                main_x = pairs_x[1:] if t.has_preprocessed() else pairs_x
+                ev = DeviceEvaluator(sels_x, prep_x, main_x, t.public_values, True)
+                acc = acc_constraints_device(t.dag, ev, lambda_pows_dev)
+                zc_val = jf.ext_sum(jf.ext_mul(acc, eq_tab), axis=0)
+                sp_head_zc[xi_i] = text.eadd(
+                    sp_head_zc[xi_i], text.emul(zc_w, zc_val)
+                )
+                if has_int:
+                    numer, denom = acc_interactions_device(
+                        t.dag, ev, beta_pows_dev, bus_terms[t_idx], eq3b[t_idx]
+                    )
+                    nm = jf.ext_sum(jf.ext_mul(numer, eq_tab), axis=0)
+                    dn = jf.ext_sum(jf.ext_mul(denom, eq_tab), axis=0)
+                    sp_head_logup[xi_i] = text.eadd(
+                        sp_head_logup[xi_i],
+                        text.eadd(text.emul(nm_w, nm), text.emul(dn_w, dn)),
+                    )
+
+        sp_head_evals = [jnp.asarray(text.ezero())] * s_deg
+        for i in range(d_global):
+            sp_head_evals[i + 1] = text.eadd(
+                text.emul(eq_n, sp_head_zc[i]),
+                text.emul(eq_sharp_n, sp_head_logup[i]),
+            )
+        xi_cur = xi_rounds[j]
+        sp_head_evals[0] = text.emul(
+            text.esub(prev_s, text.emul(xi_cur, sp_head_evals[1])),
+            inv_b_c_rounds[j],
+        )
+        sp_head_coeffs = tpoly.lagrange_coeffs(
+            list(range(s_deg)), jnp.stack(sp_head_evals)
+        )
+        coeffs = [sp_head_coeffs[i] for i in range(s_deg)] + [
+            jnp.asarray(text.ezero())
+        ]
+        a_c, b_c = a_c_rounds[j], b_c_rounds[j]
+        for i in range(s_deg - 1, -1, -1):
+            coeffs[i + 1] = text.eadd(
+                text.emul(a_c, coeffs[i]), text.emul(b_c, coeffs[i + 1])
+            )
+        coeffs[0] = text.emul(coeffs[0], b_c)
+        coeffs_arr = jnp.stack(coeffs)
+        batch_evals = jnp.stack(
+            [
+                tpoly.horner_eval(coeffs_arr, jnp.asarray(text.from_base(i)))
+                for i in range(1, s_deg + 1)
+            ]
+        )  # (s_deg, 4)
+
+        state, r_rnd = duplex_absorb_sample_ext(state, batch_evals.reshape(-1))
+        prev_s = tpoly.horner_eval(coeffs_arr, r_rnd)
+
+        def fold_buf(mat):
+            folded = fold_mle(mat, r_rnd)
+            return jnp.concatenate([folded, jnp.zeros_like(folded)], axis=1)
+
+        for t_idx, t in enumerate(traces):
+            sels, prep_pair, main_pairs = bufs[t_idx]
+            sels = fold_buf(sels)
+            if prep_pair is not None:
+                prep_pair = (
+                    fold_buf(prep_pair[0]),
+                    fold_buf(prep_pair[1]) if prep_pair[1] is not None else None,
+                )
+            main_pairs = tuple(
+                (
+                    fold_buf(local),
+                    fold_buf(nxt) if nxt is not None else None,
+                )
+                for local, nxt in main_pairs
+            )
+            new_bufs.append((sels, prep_pair, main_pairs))
+
+        eq_mle = tpoly.eval_eq_mle(xi_cur.reshape(1, 4), r_rnd.reshape(1, 4))
+        eq_n = text.emul(eq_n, eq_mle)
+        eq_sharp_n = text.emul(eq_sharp_n, eq_mle)
+        return (
+            (state, tuple(new_bufs), eq_n, eq_sharp_n, prev_s),
+            (batch_evals, r_rnd, eq_n, eq_sharp_n),
+        )
+
+    assert transcript.absorb_idx == 0
+    init = (
+        transcript.state,
+        tuple(trace_bufs(t) for t in traces),
+        jnp.asarray(pv.eq_ns[rnd0 - 1]),
+        jnp.asarray(pv.eq_sharp_ns[rnd0 - 1]),
+        jnp.asarray(prev_s_eval),
+    )
+    (state, bufs, _, _, prev_s), ys = jax.lax.scan(
+        body, init, jnp.arange(L), length=L
+    )
+    evals_all, r_all, eq_n_all, eq_sharp_all = ys
+
+    from .device_transcript import RATE, EF_D  # cursor constants
+
+    transcript.state = state
+    transcript.absorb_idx = 0
+    transcript.sample_idx = RATE - EF_D
+
+    for j in range(L):
+        polys_out.append([v.ef(evals_all[j, i]) for i in range(s_deg)])
+        r_out.append(v.ef(r_all[j]))
+        pv.eq_ns.append(v.ef(eq_n_all[j]))
+        pv.eq_sharp_ns.append(v.ef(eq_sharp_all[j]))
+
+    for t_idx, t in enumerate(traces):
+        sels, prep_pair, main_pairs = bufs[t_idx]
+        t.sels = sels
+        t.prep_pair = prep_pair
+        t.main_pairs = list(main_pairs)
+    return v.ef(prev_s)
+
+
 def prove_zerocheck_and_logup(
     transcript: Transcript,
     params: SystemParams,
@@ -495,7 +726,8 @@ def prove_zerocheck_and_logup(
     sumcheck_round_polys: List[List[np.ndarray]] = []
     n_per_trace = [t.n for t in traces]
 
-    for rnd in range(1, n_max + 1):
+    def _round_unrolled(rnd: int):
+        nonlocal prev_s_eval
         r_prev = r[rnd - 1]
         eq_r_acc = pv.eq_ns[rnd - 1]
         eq_sharp_r_acc = pv.eq_sharp_ns[rnd - 1]
@@ -699,6 +931,32 @@ def prove_zerocheck_and_logup(
         )
         pv.eq_ns.append(v.ext.emul(pv.eq_ns[rnd - 1], eq_mle))
         pv.eq_sharp_ns.append(v.ext.emul(pv.eq_sharp_ns[rnd - 1], eq_mle))
+
+    # Scan tier: rounds where EVERY trace is still active (rnd <= min n)
+    # and the largest trace buffer fits the fixed scan width run as ONE
+    # ``lax.scan`` body per block — the unrolled per-round bodies (d_global
+    # DAG evaluations + folds each) made the fused program's trace+compile
+    # cost quadratic in height. Bit-identical to the unrolled path
+    # (CI: test_fused head/tail seam tests).
+    from .gkr import _TAIL_LOG, _scan_ok
+
+    scan_hi = min(n_per_trace) if _scan_ok(transcript) else 0
+    scan_lo = max(1, n_max - _TAIL_LOG + 1)
+
+    rnd = 1
+    while rnd <= n_max:
+        if scan_lo <= rnd <= scan_hi:
+            L = scan_hi - rnd + 1
+            prev_s_eval = _mle_rounds_scan(
+                transcript, pv, traces, xi, l_skip, mu_pows,
+                lambda_pows_dev, beta_pows_dev, bus_terms_host,
+                eq_3b_per_trace, d_global, s_deg, rnd, L,
+                prev_s_eval, r, sumcheck_round_polys,
+            )
+            rnd += L
+        else:
+            _round_unrolled(rnd)
+            rnd += 1
 
     # ---- column openings ----------------------------------------------------
     column_openings: List[List[List[np.ndarray]]] = []

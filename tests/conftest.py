@@ -84,3 +84,64 @@ def fib_setup(small_engine):
     )
     proof = eng.prove(dpk, ctx)
     return eng, vk, dpk, ctx, proof
+
+
+@pytest.fixture(scope="session")
+def recorded_fib_setup():
+    """(engine, vk, dpk, ctx, proof, log): Fibonacci prove with a RECORDING
+    transcript, for extractor/validator tests."""
+    from swirl.engine import StarkEngine
+    from swirl.params import test_system_params_small
+    from swirl.prover.backend import ProvingContext
+    from swirl.testing.fixtures import FibonacciAir
+    from swirl.transcript import Transcript
+
+    eng = StarkEngine(test_system_params_small(2, 5, 2))
+    air = FibonacciAir()
+    pk, vk = eng.keygen([air])
+    dpk = eng.transport_pk(pk)
+    ctx = ProvingContext(
+        [eng.context_for(0, air.generate_trace(0, 1, 32), air.pvs(0, 1, 32))]
+    )
+    rec = Transcript(record=True)
+    proof = eng.prove(dpk, ctx, transcript=rec)
+    return eng, vk, dpk, ctx, proof, list(rec.log)
+
+
+@pytest.fixture(scope="session")
+def recorded_selfint_setup():
+    """(engine, vk, dpk, ctx, proof, log): interactions prove with a
+    RECORDING transcript (GKR sections populated)."""
+    from swirl.engine import StarkEngine
+    from swirl.params import test_system_params_small
+    from swirl.prover.backend import ProvingContext
+    from swirl.testing.fixtures import SelfInteractionAir
+    from swirl.transcript import Transcript
+
+    eng = StarkEngine(test_system_params_small(2, 4, 3))
+    air = SelfInteractionAir(4)
+    pk, vk = eng.keygen([air])
+    dpk = eng.transport_pk(pk)
+    ctx = ProvingContext([eng.context_for(0, air.generate_trace(8), [], [])])
+    rec = Transcript(record=True)
+    proof = eng.prove(dpk, ctx, transcript=rec)
+    return eng, vk, dpk, ctx, proof, list(rec.log)
+
+
+@pytest.fixture(scope="session")
+def selfint_setup():
+    """(engine, vk, dpk, ctx, proof) for a proof WITH interactions (GKR
+    path populated), shared by every test that just needs some valid
+    interactions proof."""
+    from swirl.engine import StarkEngine
+    from swirl.params import test_system_params_small
+    from swirl.prover.backend import ProvingContext
+    from swirl.testing.fixtures import SelfInteractionAir
+
+    eng = StarkEngine(test_system_params_small(2, 4, 3))
+    air = SelfInteractionAir(4)
+    pk, vk = eng.keygen([air])
+    dpk = eng.transport_pk(pk)
+    ctx = ProvingContext([eng.context_for(0, air.generate_trace(8), [], [])])
+    proof = eng.prove(dpk, ctx)
+    return eng, vk, dpk, ctx, proof

@@ -4,12 +4,9 @@ import pytest
 import tests.conftest  # noqa: F401
 
 from swirl.codec import CodecError, decode_proof, encode_proof
-from swirl.engine import StarkEngine
 from swirl.fields import ext
 from swirl.fields import jfield as jf
 from swirl.fields.babybear import P
-from swirl.params import test_system_params_small as small_params
-from swirl.prover.backend import ProvingContext
 from swirl.prover.errors import SumcheckError
 from swirl.prover.plain_sumcheck import (
     sumcheck_multilinear,
@@ -17,7 +14,6 @@ from swirl.prover.plain_sumcheck import (
     verify_sumcheck_multilinear,
     verify_sumcheck_prismalinear,
 )
-from swirl.testing.fixtures import FibonacciAir, SelfInteractionAir
 from swirl.transcript import Transcript
 from swirl import poly as hpoly
 
@@ -60,43 +56,29 @@ class TestPlainSumcheck:
 
 
 class TestCodec:
-    def _proofs(self):
-        engine = StarkEngine(small_params(2, 3, 3))
-        fib = FibonacciAir()
-        trace = FibonacciAir.generate_trace(1, 1, 16)
-        pvs = FibonacciAir.pvs(1, 1, 16)
-        pk, vk = engine.keygen([fib])
-        ctx = ProvingContext([engine.context_for(0, trace, pvs, [])])
-        proof = engine.prove(engine.transport_pk(pk), ctx)
-        return engine, vk, proof
-
-    def test_roundtrip_and_verify(self):
-        engine, vk, proof = self._proofs()
+    def test_roundtrip_and_verify(self, fib_setup):
+        engine, vk, _, _, proof = fib_setup
         blob = encode_proof(proof)
         proof2 = decode_proof(blob)
         engine.verify(vk, proof2)
         # re-encoding is byte-identical (canonical)
         assert encode_proof(proof2) == blob
 
-    def test_roundtrip_with_interactions(self):
-        engine = StarkEngine(small_params(2, 4, 3))
-        air = SelfInteractionAir(4)
-        pk, vk = engine.keygen([air])
-        ctx = ProvingContext([engine.context_for(0, air.generate_trace(8), [], [])])
-        proof = engine.prove(engine.transport_pk(pk), ctx)
+    def test_roundtrip_with_interactions(self, selfint_setup):
+        engine, vk, _, _, proof = selfint_setup
         blob = encode_proof(proof)
         proof2 = decode_proof(blob)
         engine.verify(vk, proof2)
 
-    def test_version_check(self):
-        _, _, proof = self._proofs()
+    def test_version_check(self, fib_setup):
+        proof = fib_setup[4]
         blob = bytearray(encode_proof(proof))
         blob[0] ^= 1
         with pytest.raises(CodecError):
             decode_proof(bytes(blob))
 
-    def test_noncanonical_felt_rejected(self):
-        _, _, proof = self._proofs()
+    def test_noncanonical_felt_rejected(self, fib_setup):
+        proof = fib_setup[4]
         blob = bytearray(encode_proof(proof))
         # overwrite the first digest element with a non-canonical value
         import struct
@@ -105,31 +87,20 @@ class TestCodec:
         with pytest.raises(CodecError):
             decode_proof(bytes(blob))
 
-    def test_trailing_bytes_rejected(self):
-        _, _, proof = self._proofs()
+    def test_trailing_bytes_rejected(self, fib_setup):
+        proof = fib_setup[4]
         blob = encode_proof(proof) + b"\x00"
         with pytest.raises(CodecError):
             decode_proof(blob)
 
 
 class TestVkCodec:
-    def test_vk_roundtrip_and_verify(self):
+    def test_vk_roundtrip_and_verify(self, selfint_setup):
         """encode_vk/decode_vk roundtrip; a decoded vk verifies a proof."""
         from swirl.codec import decode_vk, encode_vk
-        from swirl.engine import StarkEngine
-        from swirl.params import test_system_params_small
-        from swirl.prover.backend import ProvingContext
-        from swirl.testing.fixtures import SelfInteractionAir
         from swirl.verifier import verify
 
-        air = SelfInteractionAir(width=4)
-        eng = StarkEngine(test_system_params_small(2, 4, 2))
-        pk, vk = eng.keygen([air])
-        trace = air.generate_trace(16)
-        ctx = ProvingContext([eng.context_for(0, trace, [], [])])
-        dpk = eng.transport_pk(pk)
-        proof = eng.prove(dpk, ctx)
-
+        _, vk, _, _, proof = selfint_setup
         data = encode_vk(vk)
         vk2 = decode_vk(data)
         assert encode_vk(vk2) == data
@@ -138,21 +109,13 @@ class TestVkCodec:
         assert vk2.per_air[0].symbolic_constraints.nodes == (
             vk.per_air[0].symbolic_constraints.nodes
         )
-        import numpy as np
-
         assert np.array_equal(vk2.pre_hash, vk.pre_hash)
         verify(vk2.params, vk2, proof)
 
-    def test_vk_codec_rejects_bad_version(self):
-        import pytest
+    def test_vk_codec_rejects_bad_version(self, fib_setup):
+        from swirl.codec import decode_vk, encode_vk
 
-        from swirl.codec import CodecError, decode_vk, encode_vk
-        from swirl.engine import StarkEngine
-        from swirl.params import test_system_params_small
-        from swirl.testing.fixtures import FibonacciAir
-
-        eng = StarkEngine(test_system_params_small(2, 4, 2))
-        _, vk = eng.keygen([FibonacciAir()])
+        vk = fib_setup[1]
         data = bytearray(encode_vk(vk))
         data[0] ^= 0xFF
         with pytest.raises(CodecError):

@@ -189,73 +189,45 @@ class TestCached:
         )
 
 
-_NEG_CACHE = {}
-
-
 class TestNegative:
-    def _proof(self):
-        """One shared prove per session; each test gets a codec-roundtrip
-        deep copy so tampering never leaks across tests."""
+    @staticmethod
+    def _copy(setup):
+        """Codec-roundtrip deep copy of the shared session proof so
+        tampering never leaks across tests."""
         from swirl.codec import decode_proof, encode_proof
 
-        if "fib" not in _NEG_CACHE:
-            engine = StarkEngine(small_params(2, 3, 3))
-            air = FibonacciAir()
-            n = 16
-            trace = FibonacciAir.generate_trace(1, 1, n)
-            pvs = FibonacciAir.pvs(1, 1, n)
-            pk, vk = engine.keygen([air])
-            ctx_pair = engine.context_for(0, trace, pvs, [])
-            from swirl.prover.backend import ProvingContext
+        engine, vk = setup[0], setup[1]
+        return engine, vk, decode_proof(encode_proof(setup[4]))
 
-            proof = engine.prove(engine.transport_pk(pk), ProvingContext([ctx_pair]))
-            _NEG_CACHE["fib"] = (engine, vk, encode_proof(proof))
-        engine, vk, blob = _NEG_CACHE["fib"]
-        return engine, vk, decode_proof(blob)
-
-    def test_tampered_pv_fails(self):
-        engine, vk, proof = self._proof()
+    def test_tampered_pv_fails(self, fib_setup):
+        engine, vk, proof = self._copy(fib_setup)
         proof.public_values[0][2] = (proof.public_values[0][2] + 1) % P
         with pytest.raises(ANY_FAILURE):
             engine.verify(vk, proof)
 
-    def test_tampered_opening_fails(self):
-        engine, vk, proof = self._proof()
+    def test_tampered_opening_fails(self, fib_setup):
+        engine, vk, proof = self._copy(fib_setup)
         op = proof.batch_constraint_proof.column_openings[0][0][0]
         op[0] = (int(op[0]) + 1) % P
         with pytest.raises(ANY_FAILURE):
             engine.verify(vk, proof)
 
-    def test_tampered_final_poly_fails(self):
-        engine, vk, proof = self._proof()
+    def test_tampered_final_poly_fails(self, fib_setup):
+        engine, vk, proof = self._copy(fib_setup)
         fp = proof.whir_proof.final_poly[0]
         fp[0] = (int(fp[0]) + 1) % P
         with pytest.raises(ANY_FAILURE):
             engine.verify(vk, proof)
 
-    def test_tampered_q0_claim_fails(self):
-        from swirl.codec import decode_proof, encode_proof
-
-        if "selfint" not in _NEG_CACHE:
-            engine = StarkEngine(small_params(2, 4, 3))
-            air = SelfInteractionAir(4)
-            pk, vk = engine.keygen([air])
-            from swirl.prover.backend import ProvingContext
-
-            ctx = ProvingContext(
-                [engine.context_for(0, air.generate_trace(8), [], [])]
-            )
-            proof = engine.prove(engine.transport_pk(pk), ctx)
-            _NEG_CACHE["selfint"] = (engine, vk, encode_proof(proof))
-        engine, vk, blob = _NEG_CACHE["selfint"]
-        proof = decode_proof(blob)
+    def test_tampered_q0_claim_fails(self, selfint_setup):
+        engine, vk, proof = self._copy(selfint_setup)
         q0 = proof.gkr_proof.q0_claim
         q0[0] = (int(q0[0]) + 1) % P
         with pytest.raises(ANY_FAILURE):
             engine.verify(vk, proof)
 
-    def test_tampered_merkle_fails(self):
-        engine, vk, proof = self._proof()
+    def test_tampered_merkle_fails(self, fib_setup):
+        engine, vk, proof = self._copy(fib_setup)
         d = proof.whir_proof.initial_round_merkle_proofs[0][0][0]
         d[0] = (int(d[0]) + 1) % P
         with pytest.raises(ANY_FAILURE):

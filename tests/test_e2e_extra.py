@@ -161,51 +161,44 @@ class TestKeygenDiagnostics:
         assert all(off == 0 for _, _, off, _ in unused)
 
 
+@pytest.fixture(scope="module")
+def pipeline_stage_run():
+    """One prove-up-to-batch-constraints run shared by the stage tests."""
+    from swirl.engine import StarkEngine
+    from swirl.params import test_system_params_small
+    from swirl.prover.backend import ProvingContext
+    from swirl.testing.fixtures import SelfInteractionAir
+    from swirl.testing.pipeline import prove_up_to_batch_constraints
+
+    air = SelfInteractionAir(width=4)
+    eng = StarkEngine(test_system_params_small(2, 5, 2))
+    pk, vk = eng.keygen([air])
+    ctx = ProvingContext([eng.context_for(0, air.generate_trace(32), [], [])])
+    dpk = eng.transport_pk(pk)
+    stage = prove_up_to_batch_constraints(eng.backend, dpk, ctx)
+    return vk, stage
+
+
 class TestPipelineDecomposition:
     """Run the prover only up to the batch-constraint stage and verify that
     stage in isolation (reference lib.rs:378-565), including the q0-claim
     malleability negative (lib.rs:427-480)."""
 
-    def _setup(self, h=32):
-        from swirl.engine import StarkEngine
-        from swirl.params import test_system_params_small
-        from swirl.prover.backend import ProvingContext
-        from swirl.testing.fixtures import SelfInteractionAir
+    def test_stage_roundtrip(self, pipeline_stage_run):
+        from swirl.testing.pipeline import verify_up_to_batch_constraints
 
-        air = SelfInteractionAir(width=4)
-        eng = StarkEngine(test_system_params_small(2, 5, 2))
-        pk, vk = eng.keygen([air])
-        ctx = ProvingContext([eng.context_for(0, air.generate_trace(h), [], [])])
-        dpk = eng.transport_pk(pk)
-        return eng, vk, dpk, ctx
-
-    def test_stage_roundtrip(self):
-        from swirl.testing.pipeline import (
-            prove_up_to_batch_constraints,
-            verify_up_to_batch_constraints,
-        )
-
-        eng, vk, dpk, ctx = self._setup()
-        commit, vdata, pvs, gkr, batch, r, _t = prove_up_to_batch_constraints(
-            eng.backend, dpk, ctx
-        )
+        vk, (commit, vdata, pvs, gkr, batch, r, _t) = pipeline_stage_run
         verify_up_to_batch_constraints(vk, commit, vdata, pvs, gkr, batch)
 
-    def test_tampered_q0_rejected_at_stage(self):
-        import numpy as np
-        import pytest
+    def test_tampered_q0_rejected_at_stage(self, pipeline_stage_run):
+        import copy
 
-        from swirl.testing.pipeline import (
-            prove_up_to_batch_constraints,
-            verify_up_to_batch_constraints,
-        )
+        from swirl.testing.pipeline import verify_up_to_batch_constraints
         from swirl.verifier.batch_constraints import BatchConstraintError
         from swirl.verifier.gkr import GkrError
 
-        eng, vk, dpk, ctx = self._setup()
-        commit, vdata, pvs, gkr, batch, r, _t = prove_up_to_batch_constraints(
-            eng.backend, dpk, ctx
-        )
+        vk, (commit, vdata, pvs, gkr, batch, r, _t) = pipeline_stage_run
+        gkr = copy.deepcopy(gkr)
         gkr.q0_claim = (gkr.q0_claim + np.uint64(1)) % np.uint64(
             (1 << 31) - (1 << 27) + 1
         )

@@ -30,6 +30,38 @@ def test_fused_eager_byte_identical(fib_setup):
     eng.verify(vk, proof)
 
 
+def test_fused_eager_interactions_byte_identical(selfint_setup):
+    """Interactions proof: exercises the GKR layer-rounds lax.scan path."""
+    eng, vk, dpk, ctx, host_proof = selfint_setup
+    host_bytes = encode_proof(host_proof)
+    proof = prove_fused(eng.backend, dpk, ctx, mode="eager")
+    assert encode_proof(proof) == host_bytes
+    eng.verify(vk, proof)
+
+
+def test_fused_scan_head_tail_seam_byte_identical(monkeypatch):
+    """Force a tiny scan-tail threshold so the unrolled head rounds and the
+    masked lax.scan tail BOTH run — in the GKR layers AND in the batch
+    sumcheck MLE rounds (trace tall enough for a multi-round head); bytes
+    must still equal the host path."""
+    from swirl.engine import StarkEngine
+    from swirl.params import test_system_params_small
+    from swirl.prover import gkr
+    from swirl.prover.backend import ProvingContext
+    from swirl.testing.fixtures import SelfInteractionAir
+
+    monkeypatch.setattr(gkr, "_TAIL_LOG", 1)
+    eng = StarkEngine(test_system_params_small(2, 5, 3))
+    air = SelfInteractionAir(4)
+    pk, vk = eng.keygen([air])
+    dpk = eng.transport_pk(pk)
+    ctx = ProvingContext([eng.context_for(0, air.generate_trace(32), [], [])])
+    host_bytes = encode_proof(eng.prove(dpk, ctx))
+    proof = prove_fused(eng.backend, dpk, ctx, mode="eager")
+    assert encode_proof(proof) == host_bytes
+    eng.verify(vk, proof)
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("mode", ["jit", "segmented"])
 def test_fused_compiled_mode_byte_identical(fib_setup, mode):

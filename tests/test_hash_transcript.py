@@ -194,26 +194,13 @@ class TestTranscriptValidator:
         with pytest.raises(TranscriptDivergence):
             val2.finish()
 
-    def test_prover_verifier_event_stream_identical(self):
+    def test_prover_verifier_event_stream_identical(self, recorded_fib_setup):
         """Record the prover's transcript, replay the verifier against it
         event-by-event (the reference's recorder/validator QA harness)."""
-        import numpy as np
-        from swirl.engine import StarkEngine
-        from swirl.params import test_system_params_small
-        from swirl.testing.fixtures import FibonacciAir
-        from swirl.transcript import Transcript, TranscriptValidator
-        from swirl.prover.backend import ProvingContext
+        from swirl.transcript import TranscriptValidator
 
-        eng = StarkEngine(test_system_params_small(2, 5, 2))
-        air = FibonacciAir()
-        trace = FibonacciAir.generate_trace(0, 1, 32)
-        pvs = FibonacciAir.pvs(0, 1, 32)
-        pk, vk = eng.keygen([air])
-        ctx = ProvingContext([eng.context_for(0, trace, pvs, [])])
-        dpk = eng.transport_pk(pk)
-        rec = Transcript(record=True)
-        proof = eng.prove(dpk, ctx, transcript=rec)
-        val = TranscriptValidator(rec.log)
+        eng, vk, _, _, proof, log = recorded_fib_setup
+        val = TranscriptValidator(log)
         eng.verify(vk, proof, transcript=val)
         val.finish()
 

@@ -5,28 +5,7 @@ import numpy as np
 
 import tests.conftest  # noqa: F401
 
-from swirl.engine import StarkEngine
-from swirl.params import test_system_params_small as small_params
-from swirl.prover.backend import ProvingContext
-from swirl.testing.fixtures import FibonacciAir, SelfInteractionAir
-from swirl.transcript import Transcript
 from swirl.verifier.transcript_extractor import extract_proof_from_transcript
-
-
-def _roundtrip(airs, ctx_args, params):
-    eng = StarkEngine(params)
-    pk, vk = eng.keygen(airs)
-    ctx = ProvingContext(
-        [eng.context_for(i, *a) for i, a in enumerate(ctx_args)]
-    )
-    dpk = eng.transport_pk(pk)
-    rec = Transcript(record=True)
-    proof = eng.prove(dpk, ctx, transcript=rec)
-    eng.verify(vk, proof)
-    extracted = extract_proof_from_transcript(
-        vk, proof.trace_vdata, proof.public_values, rec.log
-    )
-    return proof, extracted
 
 
 def _assert_fields_equal(a, b):
@@ -64,46 +43,27 @@ def _assert_fields_equal(a, b):
 
 
 class TestTranscriptExtractor:
-    def test_fibonacci(self):
-        air = FibonacciAir()
-        proof, extracted = _roundtrip(
-            [air],
-            [(FibonacciAir.generate_trace(0, 1, 32), FibonacciAir.pvs(0, 1, 32), [])],
-            small_params(2, 4, 2),
+    def test_fibonacci(self, recorded_fib_setup):
+        _, vk, _, _, proof, log = recorded_fib_setup
+        extracted = extract_proof_from_transcript(
+            vk, proof.trace_vdata, proof.public_values, log
         )
         _assert_fields_equal(proof, extracted)
 
-    def test_with_interactions(self):
-        air = SelfInteractionAir(width=4)
-        proof, extracted = _roundtrip(
-            [air],
-            [(air.generate_trace(16), [], [])],
-            small_params(2, 4, 2),
+    def test_with_interactions(self, recorded_selfint_setup):
+        _, vk, _, _, proof, log = recorded_selfint_setup
+        extracted = extract_proof_from_transcript(
+            vk, proof.trace_vdata, proof.public_values, log
         )
         _assert_fields_equal(proof, extracted)
 
-    def test_tampered_stream_detected(self):
+    def test_tampered_stream_detected(self, recorded_fib_setup):
         import pytest
 
         from swirl.verifier.transcript_extractor import ExtractionError
 
-        air = FibonacciAir()
-        eng = StarkEngine(small_params(2, 4, 2))
-        pk, vk = eng.keygen([air])
-        ctx = ProvingContext(
-            [
-                eng.context_for(
-                    0,
-                    FibonacciAir.generate_trace(0, 1, 32),
-                    FibonacciAir.pvs(0, 1, 32),
-                    [],
-                )
-            ]
-        )
-        dpk = eng.transport_pk(pk)
-        rec = Transcript(record=True)
-        proof = eng.prove(dpk, ctx, transcript=rec)
-        log = list(rec.log)
+        _, vk, _, _, proof, log = recorded_fib_setup
+        log = list(log)
         del log[-1]
         with pytest.raises(ExtractionError):
             extract_proof_from_transcript(
