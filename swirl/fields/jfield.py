@@ -185,18 +185,47 @@ def ext_neg(a):
     return neg(a)
 
 
+# ext_mul combine permutation: c_k = sum_i m[i, (k-i) % 4], with a W factor
+# on wrapped terms (i > k). Flattened gather indices into m.reshape(-1, 16):
+# entry (k, i) -> 4*i + ((k - i) % 4).
+_EXT_MUL_PERM = np.asarray(
+    [[4 * i + ((k - i) % 4) for i in range(4)] for k in range(4)],
+    dtype=np.int32,
+).reshape(-1)
+_EXT_MUL_WRAP = np.asarray(
+    [[i > k for i in range(4)] for k in range(4)], dtype=bool
+)
+
+
+def _dbl(x):
+    return add(x, x)
+
+
+def _mul_w(x):
+    """x * W (= 11) via modular doublings: 11x = 8x + 2x + x."""
+    d1 = _dbl(x)
+    d3 = _dbl(_dbl(d1))
+    return add(add(d3, d1), x)
+
+
 @jax.jit
 def ext_mul(a, b):
-    """EF4 * EF4 with x^4 = W (broadcasts leading dims)."""
+    """EF4 * EF4 with x^4 = W (broadcasts leading dims).
+
+    One batched Montgomery product for all 16 coefficient pairs + a fixed
+    gather/fold — the coefficient-wise form inlined ~6x more HLO per call
+    site, which dominated the fused prover's post-inline module size."""
     a, b = jnp.broadcast_arrays(a, b)
-    a0, a1, a2, a3 = (a[..., i] for i in range(4))
-    b0, b1, b2, b3 = (b[..., i] for i in range(4))
-    w = lambda x: mul(x, W_MONT)
-    c0 = add(mul(a0, b0), w(add(add(mul(a1, b3), mul(a2, b2)), mul(a3, b1))))
-    c1 = add(add(mul(a0, b1), mul(a1, b0)), w(add(mul(a2, b3), mul(a3, b2))))
-    c2 = add(add(mul(a0, b2), mul(a1, b1)), add(mul(a2, b0), w(mul(a3, b3))))
-    c3 = add(add(mul(a0, b3), mul(a1, b2)), add(mul(a2, b1), mul(a3, b0)))
-    return jnp.stack([c0, c1, c2, c3], axis=-1)
+    m = mul(a[..., :, None], b[..., None, :])  # (..., 4, 4) all products
+    flat = m.reshape(m.shape[:-2] + (16,))
+    sel = jnp.take(flat, jnp.asarray(_EXT_MUL_PERM), axis=-1).reshape(
+        m.shape[:-2] + (4, 4)
+    )
+    wrap = jnp.asarray(_EXT_MUL_WRAP)
+    terms = jnp.where(wrap, _mul_w(sel), sel)
+    t01 = add(terms[..., 0], terms[..., 1])
+    t23 = add(terms[..., 2], terms[..., 3])
+    return add(t01, t23)
 
 
 @jax.jit

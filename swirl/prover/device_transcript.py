@@ -90,7 +90,7 @@ def duplex_absorb_sample_ext(state, flat):
     followed by :meth:`DeviceTranscript.sample_ext`; the exit cursor state
     is uniformly ``absorb_idx=0, sample_idx=RATE-EF_D`` for any static F>0,
     which is what makes per-round sumcheck bodies scan-able."""
-    from ..hash import jposeidon2 as jp2
+    permute = _permute_jit()  # pjit: ONE traced body shared by every call
 
     f_len = int(flat.shape[0])
     assert f_len > 0
@@ -102,10 +102,10 @@ def duplex_absorb_sample_ext(state, flat):
         a += c
         off += c
         if a == RATE:
-            state = jp2.permute(state)
+            state = permute(state)
             a = 0
     if a != 0:
-        state = jp2.permute(state)
+        state = permute(state)
     r = state[RATE - EF_D : RATE][::-1]
     return state, r
 

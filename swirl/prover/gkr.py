@@ -71,8 +71,11 @@ def _scan_ok(transcript) -> bool:
 # ``lax.scan`` body per layer (fixed-size buffer, masked) instead of being
 # unrolled — the unrolled pyramid is O(total_rounds^2) traced bodies, which
 # is what blew up trace+compile time of the fused prover at tall heights.
-# 2^12 pairs * 5 cols * 4 limbs * 4 B = 320 KiB: VMEM-resident.
-_TAIL_LOG = 12
+# A GKR pair-eval is ~17 EF ops, so even a 2^16-entry masked buffer costs
+# <<1% of the fraction-tree build; the MLE rounds use a smaller threshold
+# (_MLE_TAIL_LOG) because their body is a full constraint-DAG evaluation.
+_TAIL_LOG = 16
+_MLE_TAIL_LOG = 12
 
 
 def _layer_rounds_scan(state0, cols, lam_dev, num_subs: int):

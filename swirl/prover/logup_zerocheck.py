@@ -389,11 +389,30 @@ def _mle_rounds_scan(
         pv.eq_ns.append(v.ef(eq_n_all[j]))
         pv.eq_sharp_ns.append(v.ef(eq_sharp_all[j]))
 
+    # crop the fixed-size buffers back to TRUE folded lengths so post-scan
+    # unrolled rounds (ragged tails / host-tilde transitions) see the same
+    # physical shapes as the fully-unrolled path
+    scan_end = rnd0 + L - 1
     for t_idx, t in enumerate(traces):
+        true_len = max(1 << max(t.n_lift - scan_end, 0), 1)
+
+        def crop(m):
+            return m[:, :true_len]
+
         sels, prep_pair, main_pairs = bufs[t_idx]
-        t.sels = sels
-        t.prep_pair = prep_pair
-        t.main_pairs = list(main_pairs)
+        t.sels = crop(sels)
+        t.prep_pair = (
+            None
+            if prep_pair is None
+            else (
+                crop(prep_pair[0]),
+                crop(prep_pair[1]) if prep_pair[1] is not None else None,
+            )
+        )
+        t.main_pairs = [
+            (crop(local), crop(nxt) if nxt is not None else None)
+            for local, nxt in main_pairs
+        ]
     return v.ef(prev_s)
 
 
@@ -938,10 +957,10 @@ def prove_zerocheck_and_logup(
     # DAG evaluations + folds each) made the fused program's trace+compile
     # cost quadratic in height. Bit-identical to the unrolled path
     # (CI: test_fused head/tail seam tests).
-    from .gkr import _TAIL_LOG, _scan_ok
+    from .gkr import _MLE_TAIL_LOG, _scan_ok
 
     scan_hi = min(n_per_trace) if _scan_ok(transcript) else 0
-    scan_lo = max(1, n_max - _TAIL_LOG + 1)
+    scan_lo = max(1, n_max - _MLE_TAIL_LOG + 1)
 
     rnd = 1
     while rnd <= n_max:

@@ -122,7 +122,7 @@ def prove_stacked_opening_reduction(
             z_points.append(sh * int(w_pows[i]) % P)
 
     stacked_mats = [d.get_matrix() for d in stacked_per_commit]
-    total_evals = [v.ext.ezero() for _ in range(B_z)]
+    total_evals = v.ext.ezero((B_z,))
     for s, e in groups:
         lht = trace_views[s].slice.log_height
         n = lht - l_skip
@@ -147,29 +147,31 @@ def prove_stacked_opening_reduction(
             q_grid, lam_rot_dev, jf.ext_sub(krot_tab, eq_tab)
         )
         a_h, b_h, c_h = (v.ef(x) for x in (a_vec, b_vec, c_vec))
-        # host z-dependent kernels
+        # z-dependent univariate kernels, BATCHED over all B_z z-points:
+        # the eq-kernel formulas are elementwise in z, so one (B_z, 4)
+        # ladder replaces B_z scalar ladders (the per-z loop dominated the
+        # fused seg3 program's op count). Identical field values.
         if n < 0:
             l_eff = l_skip + n
             omega_eff = pow(omega_skip, 1 << (-n), P)
             r_eff = v.ext.epow(r0, 1 << (-n))
         else:
             l_eff, omega_eff, r_eff = l_skip, omega_skip, r0
-        for zi, z in enumerate(z_points):
-            z_ef = v.ext.from_base(z)
-            ind = v.poly.eval_in_uni(l_skip, n, z_ef)
-            eq_uni_r0 = v.poly.eval_eq_uni(l_eff, z_ef, r_eff)
-            eq_uni_r0_rot = v.poly.eval_eq_uni(
-                l_eff, z_ef, v.ext.escale(r_eff, omega_eff)
-            )
-            eq_uni_1 = v.poly.eval_eq_uni_at_one(l_skip, z_ef)
-            term = v.ext.emul(eq_uni_r0, a_h[zi])
-            term = v.ext.eadd(term, v.ext.emul(eq_uni_r0_rot, b_h[zi]))
-            term = v.ext.eadd(
-                term, v.ext.emul(v.ext.emul(eq_const, eq_uni_1), c_h[zi])
-            )
-            total_evals[zi] = v.ext.eadd(total_evals[zi], v.ext.emul(term, ind))
+        z_vec = v.stack([v.ext.from_base(z) for z in z_points])  # (B_z, 4)
+        ind_b = v.poly.eval_in_uni(l_skip, n, z_vec)
+        eq_uni_r0_b = v.poly.eval_eq_uni(l_eff, z_vec, r_eff)
+        eq_uni_r0_rot_b = v.poly.eval_eq_uni(
+            l_eff, z_vec, v.ext.escale(r_eff, omega_eff)
+        )
+        eq_uni_1_b = v.poly.eval_eq_uni_at_one(l_skip, z_vec)
+        term = v.ext.emul(eq_uni_r0_b, a_h)
+        term = v.ext.eadd(term, v.ext.emul(eq_uni_r0_rot_b, b_h))
+        term = v.ext.eadd(
+            term, v.ext.emul(v.ext.emul(eq_const, eq_uni_1_b), c_h)
+        )
+        total_evals = v.ext.eadd(total_evals, v.ext.emul(term, ind_b))
 
-    grid = v.stack(total_evals).reshape(2, 1 << l_skip, 4).transpose(1, 0, 2)
+    grid = total_evals.reshape(2, 1 << l_skip, 4).transpose(1, 0, 2)
     s0_coeffs_full = v.poly.from_geometric_cosets_evals(grid, g, g)
     s0_deg = 2 * ((1 << l_skip) - 1)
     s0_coeffs = s0_coeffs_full[: s0_deg + 1]
@@ -224,7 +226,9 @@ def prove_stacked_opening_reduction(
 
     # ---- rounds 1..n_stack ----------------------------------------------------
     sumcheck_round_polys: List[List[np.ndarray]] = []
-    for rnd in range(1, n_stack + 1):
+
+    def _round_unrolled(rnd: int):
+        nonlocal q_evals, eq_r_per_lht, k_rot_per_lht
         s_evals = [v.ext.ezero(), v.ext.ezero()]
         for s, e in groups:
             lht = trace_views[s].slice.log_height
@@ -317,6 +321,143 @@ def prove_stacked_opening_reduction(
                         u_rnd.reshape(1, 4), v.ext.from_base(b).reshape(1, 4)
                     ),
                 )
+
+    def _rounds_scan(rnd0: int, L: int):
+        """Rounds rnd0..rnd0+L-1 as ONE lax.scan (trace mode, every view
+        active: rnd <= n_lift for all groups, so no eq_ub updates). Events
+        and values bit-identical to ``_round_unrolled``."""
+        import jax
+
+        nonlocal q_evals, eq_r_per_lht, k_rot_per_lht
+
+        from ..fields import text
+        from .device_transcript import EF_D, RATE, duplex_absorb_sample_ext
+
+        lhts = sorted(eq_r_per_lht)
+        group_meta = []
+        for s, e in groups:
+            lht = trace_views[s].slice.log_height
+            n_lift = lht - l_skip
+            hd0 = n_lift - rnd0
+            lam_eq_dev, lam_rot_dev = group_weights(s, e)
+            bases = [
+                (trace_views[i].slice.row_idx >> lht) << (hd0 + 1)
+                for i in range(s, e)
+            ]
+            cols = [trace_views[i].slice.col_idx for i in range(s, e)]
+            coms = [trace_views[i].com_idx for i in range(s, e)]
+            group_meta.append(
+                (lht, hd0, lam_eq_dev, lam_rot_dev, bases, cols, coms)
+            )
+
+        def body(carry, j):
+            state, q_bufs, eq_tabs, krot_tabs = carry
+            s_evals = [jnp.asarray(text.ezero()), jnp.asarray(text.ezero())]
+            for lht, hd0, lam_eq_dev, lam_rot_dev, bases, cols, coms in group_meta:
+                eq_tab = eq_tabs[lhts.index(lht)]
+                krot_tab = krot_tabs[lhts.index(lht)]
+                length = 2 << hd0
+                grid_cols = []
+                for base, col, com in zip(bases, cols, coms):
+                    start = jnp.uint32(base) >> j
+                    grid_cols.append(
+                        jax.lax.dynamic_slice(
+                            q_bufs[com],
+                            (jnp.uint32(col), start, jnp.uint32(0)),
+                            (1, length, 4),
+                        )[0]
+                    )
+                q_grid = jnp.stack(grid_cols)  # (G, 2<<hd0, 4)
+                pair_mask = (
+                    jax.lax.iota(jnp.uint32, 1 << hd0) < (jnp.uint32(1 << hd0) >> j)
+                )
+                for xi, x in enumerate((1, 2)):
+                    q_x = interp_pairs(q_grid, x)  # (G, 2^hd0, 4)
+                    eq_x = interp_pairs(eq_tab[None], x)[0]
+                    krot_x = interp_pairs(krot_tab[None], x)[0]
+                    w = jf.ext_add(
+                        jf.ext_mul(lam_eq_dev[:, None, :], eq_x[None]),
+                        jf.ext_mul(lam_rot_dev[:, None, :], krot_x[None]),
+                    )
+                    val = jnp.where(
+                        pair_mask[None, :, None],
+                        jf.ext_mul(q_x, w),
+                        jnp.uint32(0),
+                    )
+                    s_evals[xi] = text.eadd(
+                        s_evals[xi],
+                        jf.ext_sum(jf.ext_sum(val, axis=1), axis=0),
+                    )
+
+            evals2 = jnp.stack(s_evals)  # (2, 4)
+            state, u_rnd = duplex_absorb_sample_ext(state, evals2.reshape(-1))
+
+            def fold_front(mat):
+                folded = fold_mle(mat, u_rnd)
+                return jnp.concatenate(
+                    [folded, jnp.zeros_like(folded)], axis=1
+                )
+
+            def fold_front_vec(tab):
+                folded = fold_mle_vec(tab, u_rnd)
+                return jnp.concatenate(
+                    [folded, jnp.zeros_like(folded)], axis=0
+                )
+
+            q_bufs = tuple(fold_front(q) for q in q_bufs)
+            eq_tabs = tuple(fold_front_vec(t) for t in eq_tabs)
+            krot_tabs = tuple(fold_front_vec(t) for t in krot_tabs)
+            return (state, q_bufs, eq_tabs, krot_tabs), (evals2, u_rnd)
+
+        assert transcript.absorb_idx == 0
+        init = (
+            transcript.state,
+            tuple(jnp.asarray(q) for q in q_evals),
+            tuple(jnp.asarray(eq_r_per_lht[lht]) for lht in lhts),
+            tuple(jnp.asarray(k_rot_per_lht[lht]) for lht in lhts),
+        )
+        (state, q_bufs, eq_tabs, krot_tabs), (evals_all, u_all) = jax.lax.scan(
+            body, init, jnp.arange(L, dtype=jnp.uint32), length=L
+        )
+        transcript.state = state
+        transcript.absorb_idx = 0
+        transcript.sample_idx = RATE - EF_D
+        for j in range(L):
+            sumcheck_round_polys.append(
+                [v.ef(evals_all[j, 0]), v.ef(evals_all[j, 1])]
+            )
+            u.append(v.ef(u_all[j]))
+        # crop the fixed-size buffers back to TRUE folded lengths so the
+        # post-scan unrolled rounds (tilde regime, openings) see the same
+        # physical shapes as the fully-unrolled path
+        scan_end = rnd0 + L - 1
+        q_true = 1 << (n_stack - scan_end)
+        q_evals = [q[:, :q_true] for q in q_bufs]
+        eq_r_per_lht = {}
+        k_rot_per_lht = {}
+        for i, lht in enumerate(lhts):
+            n_lift = max(lht - l_skip, 0)
+            t_true = max(1 << max(n_lift - scan_end, 0), 1)
+            eq_r_per_lht[lht] = eq_tabs[i][:t_true]
+            k_rot_per_lht[lht] = krot_tabs[i][:t_true]
+
+    from .gkr import _MLE_TAIL_LOG, _scan_ok
+
+    min_n_lift = min(
+        max(trace_views[s].slice.log_height - l_skip, 0) for s, e in groups
+    )
+    scan_hi = min_n_lift if _scan_ok(transcript) else 0
+    scan_lo = max(1, n_stack - _MLE_TAIL_LOG + 1)
+
+    rnd = 1
+    while rnd <= n_stack:
+        if scan_lo <= rnd <= scan_hi:
+            L = scan_hi - rnd + 1
+            _rounds_scan(rnd, L)
+            rnd += L
+        else:
+            _round_unrolled(rnd)
+            rnd += 1
 
     stacking_openings = []
     for q in q_evals:

@@ -75,6 +75,17 @@ class HostVM:
 
         return pow(two_adic_generator(log_size), int(index), P)
 
+    @staticmethod
+    def pow_omega_batch(log_size: int, indices):
+        """omega^i for a batch of indices: canonical (k,) numpy here, one
+        shared table + one gather (k,) Monty in trace mode."""
+        from ..fields.babybear import P, two_adic_generator
+
+        g = two_adic_generator(log_size)
+        return np.asarray(
+            [pow(g, int(i), P) for i in indices], dtype=U64
+        )
+
 
 class TraceVM:
     is_trace = True
@@ -113,6 +124,13 @@ class TraceVM:
 
         table = jnp.asarray(jf.const_arr(roots_of_unity(log_size)))
         return table[index]
+
+    @staticmethod
+    def pow_omega_batch(log_size: int, indices):
+        from ..fields.babybear import roots_of_unity
+
+        table = jnp.asarray(jf.const_arr(roots_of_unity(log_size)))
+        return table[jnp.stack([jnp.asarray(i) for i in indices])]
 
 
 _mode = contextvars.ContextVar("swirl_vmode", default=HostVM)

@@ -164,7 +164,6 @@ def prove_whir_opening(
         indices = [
             transcript.sample_bits(log_rs - k) for _ in range(num_queries)
         ]
-        zs = []
         if whir_round == 0:
             rs_mats = [d.get_rs_matrix() for d in committed]
             for com_idx, d in enumerate(committed):
@@ -181,8 +180,10 @@ def prove_whir_opening(
                 opened.append(rows[:, 0, :])  # width 1 -> (2^k, 4)
             codeword_opened_values.append(opened)
             codeword_merkle_proofs.append(proofs)
-        for index in indices:
-            zs.append(v.pow_omega(log_rs - k, index))
+        # one root-of-unity table + one gather for ALL queries (a per-query
+        # pow_omega embedded a fresh 2^(log_rs-k) constant table per call,
+        # bloating the fused program with megabytes of duplicate literals)
+        zs = v.pow_omega_batch(log_rs - k, indices)
 
         if not is_last:
             rs_tree = g_tree
@@ -200,19 +201,19 @@ def prove_whir_opening(
                 v.ef_dev(gamma),
                 eq_pows_hypercube_dev(z0, cur_m, base_field=False),
             )
-            gamma_pows = v.ext.epowers(gamma, len(zs) + 2)
-            if zs:
+            gamma_pows = v.ext.epowers(gamma, num_queries + 2)
+            if num_queries:
                 if v.is_trace:
-                    zs_vec = jnp.stack(zs)
+                    zs_vec = jnp.asarray(zs)
                 else:
                     zs_vec = jnp.asarray(
                         jf.const_arr(np.asarray(zs, dtype=np.uint64))
                     )
                 gp_dev = v.const_vec(
-                    v.stack([gamma_pows[i + 2] for i in range(len(zs))])
+                    v.stack([gamma_pows[i + 2] for i in range(num_queries)])
                 )
                 chunk = 32  # bounds the (chunk, 2^m, 4) contraction buffer
-                for base in range(0, len(zs), chunk):
+                for base in range(0, num_queries, chunk):
                     zc = zs_vec[base : base + chunk]
                     gc = gp_dev[base : base + chunk]
                     tab = eq_pows_base_batch_dev(zc, cur_m)  # (q, 2^m)

@@ -51,6 +51,7 @@ def test_fused_scan_head_tail_seam_byte_identical(monkeypatch):
     from swirl.testing.fixtures import SelfInteractionAir
 
     monkeypatch.setattr(gkr, "_TAIL_LOG", 1)
+    monkeypatch.setattr(gkr, "_MLE_TAIL_LOG", 1)
     eng = StarkEngine(test_system_params_small(2, 5, 3))
     air = SelfInteractionAir(4)
     pk, vk = eng.keygen([air])
