@@ -85,6 +85,19 @@ class MerkleTree:
     def query_proof(self, index: int) -> List[np.ndarray]:
         return self.batch_query_proofs([index])[0]
 
+    def batch_query_proofs_arr(self, indices):
+        """Trace-mode batched variant: ONE (nq, depth, 8) array instead of
+        nq*depth separate digest slices — the per-leaf materialization
+        dominated the fused WHIR program's op count. Leaf iteration order
+        matches :meth:`batch_query_proofs` (query-major, then level)."""
+        cur = jnp.stack([jnp.asarray(i, jnp.uint32) for i in indices])
+        per_level = []
+        for layer in self.layers[:-1]:
+            sib = jnp.take(layer, jnp.asarray(cur ^ 1), axis=1)  # (8, nq)
+            per_level.append(sib.T)  # (nq, 8)
+            cur = cur >> 1
+        return jnp.stack(per_level, axis=1)  # (nq, depth, 8)
+
 
 def _leaf_hashes(matrix, ext: bool):
     """Column-wise digests (8, height) of the backing matrix.
@@ -131,6 +144,24 @@ def build_merkle_tree(matrix, rows_per_query: int, ext: bool = False) -> MerkleT
         n = half
     layers = [cur] + jp2.merkle_tower(cur)
     return MerkleTree(layers=layers, rows_per_query=rows_per_query)
+
+
+def get_opened_rows_batch(matrix, indices, rows_per_query: int, ext: bool):
+    """Trace-mode batched variant of :func:`get_opened_rows`: one gather for
+    ALL queries. Returns (nq, rows_per_query, width[, 4]) traced Monty."""
+    height = matrix.shape[1]
+    query_stride = height // rows_per_query
+    idx = jnp.stack([jnp.asarray(i, jnp.uint32) for i in indices])  # (nq,)
+    row_ids = idx[:, None] + jnp.uint32(query_stride) * jnp.arange(
+        rows_per_query, dtype=jnp.uint32
+    )
+    g = jnp.take(matrix, row_ids.reshape(-1), axis=1)
+    nq = len(indices)
+    if ext:
+        w = matrix.shape[0]
+        return g.reshape(w, nq, rows_per_query, 4).transpose(1, 2, 0, 3)
+    w = matrix.shape[0]
+    return g.reshape(w, nq, rows_per_query).transpose(1, 2, 0)
 
 
 def get_opened_rows(matrix, index, rows_per_query: int, ext: bool):

@@ -21,7 +21,7 @@ from ..params import SystemParams
 from ..proof import WhirProof
 from ..transcript import Transcript
 from .errors import WhirProverError
-from .merkle import build_merkle_tree, get_opened_rows
+from .merkle import build_merkle_tree, get_opened_rows, get_opened_rows_batch
 from .ntt import mobius_transform, ntt, zeta_transform
 from .stacked_pcs import StackedPcsData, rs_message
 from .sumcheck import (
@@ -167,19 +167,38 @@ def prove_whir_opening(
         if whir_round == 0:
             rs_mats = [d.get_rs_matrix() for d in committed]
             for com_idx, d in enumerate(committed):
+                if v.is_trace and indices:
+                    # batched: ONE gather per commitment for rows and ONE
+                    # (nq, depth, 8) array for paths; the per-query/per-level
+                    # materialization dominated the fused WHIR program size.
+                    # _rebuild_proof expands back to per-query lists on host.
+                    initial_opened_rows[com_idx] = get_opened_rows_batch(
+                        rs_mats[com_idx], indices, 1 << k, ext=False
+                    )
+                    initial_merkle_proofs[com_idx] = (
+                        d.tree.batch_query_proofs_arr(indices)
+                    )
+                    continue
                 proofs = d.tree.batch_query_proofs(indices) if indices else []
                 for qi, index in enumerate(indices):
                     rows = get_opened_rows(rs_mats[com_idx], index, 1 << k, ext=False)
                     initial_opened_rows[com_idx].append(rows)
                     initial_merkle_proofs[com_idx].append(proofs[qi])
         else:
-            opened = []
-            proofs = rs_tree.batch_query_proofs(indices) if indices else []
-            for qi, index in enumerate(indices):
-                rows = get_opened_rows(rs_codeword, index, 1 << k, ext=True)
-                opened.append(rows[:, 0, :])  # width 1 -> (2^k, 4)
-            codeword_opened_values.append(opened)
-            codeword_merkle_proofs.append(proofs)
+            if v.is_trace and indices:
+                rows = get_opened_rows_batch(rs_codeword, indices, 1 << k, ext=True)
+                codeword_opened_values.append(rows[:, :, 0, :])  # (nq, 2^k, 4)
+                codeword_merkle_proofs.append(
+                    rs_tree.batch_query_proofs_arr(indices)
+                )
+            else:
+                opened = []
+                proofs = rs_tree.batch_query_proofs(indices) if indices else []
+                for qi, index in enumerate(indices):
+                    rows = get_opened_rows(rs_codeword, index, 1 << k, ext=True)
+                    opened.append(rows[:, 0, :])  # width 1 -> (2^k, 4)
+                codeword_opened_values.append(opened)
+                codeword_merkle_proofs.append(proofs)
         # one root-of-unity table + one gather for ALL queries (a per-query
         # pow_omega embedded a fresh 2^(log_rs-k) constant table per call,
         # bloating the fused program with megabytes of duplicate literals)
