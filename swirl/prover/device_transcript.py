@@ -139,10 +139,30 @@ class DeviceTranscript:
         Bit-identical to k sequential :meth:`_observe_monty` calls, but each
         chunk is ONE dynamic_update_slice (cursors are trace-time Python
         ints) — per-felt scatters were a dominant share of the fused
-        prover's HLO op count."""
+        prover's HLO op count. Long runs of FULL rate blocks additionally
+        collapse into ONE ``lax.scan`` (overwrite + permute per block) — a
+        2^10-coefficient WHIR final poly otherwise unrolls ~512 sequential
+        permute calls into the program."""
         k = int(flat.shape[0])
         off = 0
         while off < k:
+            # scan tier: whole rate blocks from a rate-aligned cursor
+            n_blocks = (k - off) // RATE if self.absorb_idx == 0 else 0
+            if n_blocks >= 8:
+                blocks = flat[off : off + n_blocks * RATE].reshape(
+                    n_blocks, RATE
+                )
+
+                def absorb_block(state, block):
+                    st = jax.lax.dynamic_update_slice(state, block, (0,))
+                    return _permute_jit()(st), None
+
+                self.state, _ = jax.lax.scan(
+                    absorb_block, self.state, blocks
+                )
+                self.sample_idx = RATE
+                off += n_blocks * RATE
+                continue
             c = min(RATE - self.absorb_idx, k - off)
             self.state = jax.lax.dynamic_update_slice(
                 self.state, flat[off : off + c], (self.absorb_idx,)

@@ -157,8 +157,15 @@ def prove_whir_opening(
         else:
             fp = v.ef(g_coeffs)
             final_poly = [fp[i] for i in range(fp.shape[0])]
-            for c in final_poly:
-                transcript.observe_ext(c)
+            if v.is_trace:
+                # one flat absorb == the per-coefficient observe_ext
+                # sequence bit-for-bit, but the full rate blocks collapse
+                # into one lax.scan instead of ~2^(final_len-1) unrolled
+                # permutes
+                transcript.observe_slice(jnp.ravel(g_coeffs))
+            else:
+                for c in final_poly:
+                    transcript.observe_ext(c)
 
         query_phase_pow_witnesses.append(transcript.grind(whir.query_phase_pow_bits))
         indices = [

@@ -146,6 +146,36 @@ class DummyInteractionAir(Air):
         return np.array(rows, dtype=np.uint64) % np.uint64(P)
 
 
+class MultiCachedAir(Air):
+    """AIR with TWO cached-main partitions (the reference conformance
+    suite sweeps cached-part counts 1-3, ``backend-tests/src/lib.rs:254``):
+    common column a must equal b0 + b1 + c0 of the cached parts."""
+
+    def name(self) -> str:
+        return "multi_cached"
+
+    def common_main_width(self) -> int:
+        return 1
+
+    def cached_main_widths(self) -> List[int]:
+        return [2, 1]
+
+    def eval(self, b):
+        b0, b1 = b.partitioned_main[0].local
+        (c0,) = b.partitioned_main[1].local
+        (a,) = b.partitioned_main[2].local
+        b.assert_zero(a - (b0 + b1 + c0))
+
+    @staticmethod
+    def generate_traces(n: int, seed: int = 0):
+        """(common, [cached_part_1, cached_part_2]) host traces (h, w)."""
+        rng = np.random.default_rng(seed)
+        p1 = rng.integers(0, P, (n, 2), dtype=np.uint64)
+        p2 = rng.integers(0, P, (n, 1), dtype=np.uint64)
+        common = ((p1[:, 0] + p1[:, 1] + p2[:, 0]) % np.uint64(P)).reshape(n, 1)
+        return common, [p1, p2]
+
+
 class SelfInteractionAir(Air):
     """Width-w AIR sending each row's key on a bus twice and receiving it
     twice (balanced on a single trace); plus a dummy constraint."""

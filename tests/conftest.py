@@ -4,10 +4,6 @@ import os
 # benchmarks. The environment pins JAX_PLATFORMS=axon via sitecustomize, so we
 # must override both the env var (before import) and the config (after).
 os.environ["JAX_PLATFORMS"] = "cpu"
-# The persistent compile cache segfaults intermittently in the zstd cache
-# writer on this CI box (observed in two full-suite runs); it only saves
-# time for bench/driver runs, so keep it off under pytest.
-os.environ.setdefault("SWIRL_JAX_CACHE", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +13,15 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache: XLA compiles dominate the suite's wall time on
+# the 1-core CI box, and the cache key is machine-feature-scoped (see
+# enable_compile_cache), so warm re-runs skip them. Opt out with
+# SWIRL_JAX_CACHE=0 (round-1 zstd-writer segfaults predate the
+# feature-scoped cache dir; re-enabled after a clean full-suite run).
+from swirl.prover.fused import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 
 import pytest  # noqa: E402
 

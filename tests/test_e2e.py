@@ -50,7 +50,10 @@ class TestFibonacci:
         engine = StarkEngine(small_params(2, 3, 3))
         fib_case(engine, 16)
 
+    @pytest.mark.slow
     def test_default_small(self):
+        # covers the DEFAULT test-params preset; duplicates the protocol
+        # coverage of the small_params cases above at ~4x the cost
         engine = StarkEngine(default_test_params_small())
         fib_case(engine, 32)
 

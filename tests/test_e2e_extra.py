@@ -60,9 +60,12 @@ class TestOptionalAirs:
 
 
 class TestWideMixtures:
+    @pytest.mark.slow
     def test_self_interaction_widths(self):
         """Multi-trace self-interactions at mixed widths/heights (reference
-        uses widths [4,7,8,8,10,100]; we use a representative subset)."""
+        uses widths [4,7,8,8,10,100]; we use a representative subset).
+        Slow tier: test_e2e's test_self_interaction_multi_width covers the
+        same multi-width bus balancing in the default tier."""
         engine = StarkEngine(small_params(2, 7, 3))
         widths = [4, 7, 10]
         airs = [SelfInteractionAir(w, bus_index=i) for i, w in enumerate(widths)]
@@ -73,12 +76,55 @@ class TestWideMixtures:
         engine.run_test(airs, ctxs)
 
     def test_synthetic_shapes(self):
-        engine = StarkEngine(small_params(2, 5, 3))
-        shapes = [uniform_shape(5, 6, num_constraints=5, num_interactions=4),
-                  uniform_shape(4, 4, num_constraints=3, num_interactions=2)]
+        engine = StarkEngine(small_params(2, 4, 3))
+        shapes = [uniform_shape(4, 6, num_constraints=5, num_interactions=4),
+                  uniform_shape(3, 4, num_constraints=3, num_interactions=2)]
         airs = [SyntheticAir(s) for s in shapes]
         ctxs = [(a.generate_trace(), [], []) for a in airs]
         engine.run_test(airs, ctxs)
+
+
+class TestStackingAndParams:
+    def test_stacking_overflow_rejected(self):
+        """A trace taller than the stacked height must be rejected
+        (reference backend-tests stacking-overflow case)."""
+        from swirl.prover.errors import StackedPcsError
+
+        eng = StarkEngine(small_params(2, 3, 2))  # stacked height 2^5
+        air = FibonacciAir()
+        trace = FibonacciAir.generate_trace(1, 1, 64)  # 64 > 32
+        pvs = FibonacciAir.pvs(1, 1, 64)
+        with pytest.raises((StackedPcsError, ValueError, AssertionError)):
+            eng.run_test([air], [(trace, pvs, [])])
+
+    def test_l_skip_5_roundtrip(self):
+        """High univariate-skip: 32-point chunks (reference sweeps
+        l_skip in {2,5,6}, backend-tests lib.rs:1560-1587)."""
+        eng = StarkEngine(small_params(5, 2, 2))
+        fib_case(eng, n=64)
+
+    def test_l_skip_6_lifted_roundtrip(self):
+        """l_skip 6 with a height-16 trace: the trace is LIFTED into the
+        64-point chunk (cyclic tiling) before the univariate round."""
+        eng = StarkEngine(small_params(6, 2, 2))
+        fib_case(eng, n=16)
+
+    def test_two_cached_parts_roundtrip(self):
+        """Two cached-main partitions in one AIR (reference sweeps
+        cached-part counts 1-3)."""
+        from swirl.testing.fixtures import MultiCachedAir
+
+        eng = StarkEngine(small_params(2, 4, 2))
+        air = MultiCachedAir()
+        common, cached = MultiCachedAir.generate_traces(16)
+        eng.run_test([air], [(common, [], cached)])
+
+
+def fib_case(engine, n, a0=1, b0=1):
+    air = FibonacciAir()
+    trace = FibonacciAir.generate_trace(a0, b0, n)
+    pvs = FibonacciAir.pvs(a0, b0, n)
+    return engine.run_test([air], [(trace, pvs, [])])
 
 
 class TestRandomizedParams:
@@ -107,9 +153,9 @@ class TestProverConfig:
         from swirl.codec import encode_proof
 
         air = FibonacciAir()
-        trace = FibonacciAir.generate_trace(0, 1, 32)
-        pvs = FibonacciAir.pvs(0, 1, 32)
-        params = test_system_params_small(2, 4, 2)
+        trace = FibonacciAir.generate_trace(0, 1, 16)
+        pvs = FibonacciAir.pvs(0, 1, 16)
+        params = test_system_params_small(2, 3, 2)
 
         proofs = []
         for cfg in (

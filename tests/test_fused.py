@@ -52,11 +52,13 @@ def test_fused_scan_head_tail_seam_byte_identical(monkeypatch):
 
     monkeypatch.setattr(gkr, "_TAIL_LOG", 1)
     monkeypatch.setattr(gkr, "_MLE_TAIL_LOG", 1)
-    eng = StarkEngine(test_system_params_small(2, 5, 3))
+    # h=16, l_skip=2 -> n=2: MLE scan_lo=2 so round 1 unrolls and round 2
+    # scans (the seam); GKR has 6 layers, head-unrolled above 2^1 pairs
+    eng = StarkEngine(test_system_params_small(2, 4, 3))
     air = SelfInteractionAir(4)
     pk, vk = eng.keygen([air])
     dpk = eng.transport_pk(pk)
-    ctx = ProvingContext([eng.context_for(0, air.generate_trace(32), [], [])])
+    ctx = ProvingContext([eng.context_for(0, air.generate_trace(16), [], [])])
     host_bytes = encode_proof(eng.prove(dpk, ctx))
     proof = prove_fused(eng.backend, dpk, ctx, mode="eager")
     assert encode_proof(proof) == host_bytes

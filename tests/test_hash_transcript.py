@@ -253,7 +253,9 @@ class TestMerkleCompressionSemantics:
         from swirl.prover.merkle import build_merkle_tree
 
         rng = np.random.default_rng(10)
-        w, n, rpq = 2, 2048, 16
+        # 256 leaves cover both the strided-pair levels and the plain tower
+        # (2048 added ~1 min of interpret-mode Pallas time for no coverage)
+        w, n, rpq = 2, 256, 16
         m_h = rng.integers(0, P, (w, n), dtype=np.uint64)
         prev = os.environ.get("SWIRL_PALLAS")
         os.environ["SWIRL_PALLAS"] = "interpret"

@@ -84,10 +84,10 @@ class TestWhirPcs:
         _roundtrip(small_params(2, 4, 2), [3])
 
     def test_multiple_commitments(self):
-        _roundtrip(small_params(2, 4, 2), [1, 2, 4])
+        _roundtrip(small_params(2, 3, 2), [1, 2, 4])
 
     def test_larger_k(self):
-        _roundtrip(small_params(2, 6, 3), [2, 2])
+        _roundtrip(small_params(2, 5, 3), [2, 2])
 
     def test_tampered_final_poly_rejected(self):
         def tamper(proof):
