@@ -98,6 +98,60 @@ def log2_a_bound_bchks25(log_degree: int, log_inv_rate: int, m: int):
     return math.log2(a_bound), l2_dy
 
 
+def logup_soundness(
+    max_interaction_count: int,
+    log_max_message_length: int,
+    challenge_field_bits: float,
+    log2_list_size: float,
+) -> float:
+    """LogUp alpha/beta collision error (reference
+    ``soundness/calculator.rs:195``); the PCS list size is a direct
+    security penalty."""
+    return (
+        challenge_field_bits
+        - math.log2(2.0 * max_interaction_count)
+        - float(log_max_message_length)
+        - log2_list_size
+    )
+
+
+def constraint_batching_soundness(
+    challenge_field_bits: float,
+    max_num_constraints_per_air: int,
+    num_airs: int,
+    l_skip: int,
+    max_log_trace_height: int,
+    n_logup: int,
+    log2_list_size: float,
+) -> float:
+    """Fused batch-constraint boundary + mu-batching error (reference
+    ``calculator.rs:282``): worst of the fused boundary degree
+    ``max(n_extra,3) + (2^l_skip - 1) + (N_C - 1)`` and the 3-claims-per-AIR
+    batching degree ``3*|T| - 1``."""
+    assert max_num_constraints_per_air > 0 and num_airs > 0
+    n_trace = max(max_log_trace_height - l_skip, 0)
+    n_extra = max(n_trace - n_logup, 0)
+    skip_deg = (1 << l_skip) - 1
+    fused_deg = max(n_extra, 3) + skip_deg + (max_num_constraints_per_air - 1)
+    batching_deg = 3 * num_airs - 1
+    return (
+        min(
+            challenge_field_bits - math.log2(fused_deg),
+            challenge_field_bits - math.log2(batching_deg),
+        )
+        - log2_list_size
+    )
+
+
+def whir_gamma_batching_security(
+    challenge_field_bits: float, batch_size: int, log2_list_size: float
+) -> float:
+    """gamma-batching error of one WHIR round (reference
+    ``calculator.rs:834``): batch = in-domain queries + OOD samples."""
+    assert batch_size > 0
+    return challenge_field_bits - math.log2(batch_size) - log2_list_size
+
+
 def whir_proximity_gap_security(
     regime: ProximityRegime,
     challenge_field_bits: float,
@@ -180,11 +234,11 @@ def calculate_soundness(
     )
     l2_list = init_gap.log2_list_size
 
-    logup_bits = (
-        fb
-        - math.log2(2.0 * params.logup.max_interaction_count)
-        - params.logup.log_max_message_length
-        - l2_list
+    logup_bits = logup_soundness(
+        params.logup.max_interaction_count,
+        params.logup.log_max_message_length,
+        fb,
+        l2_list,
     ) + effective_pow_bits(params.logup.pow_bits, base_field_order)
 
     gkr_sumcheck_bits = fb - math.log2(3)
@@ -194,13 +248,14 @@ def calculate_soundness(
     uni_deg = (d + 1) * ((1 << params.l_skip) - 1)
     zerocheck_bits = fb - math.log2(max(uni_deg, d + 1)) - l2_list
 
-    n_trace = max(max_log_trace_height - params.l_skip, 0)
-    n_extra = max(n_trace - n_logup, 0)
-    skip_deg = (1 << params.l_skip) - 1
-    fused_deg = max(n_extra, 3) + skip_deg + (max_num_constraints_per_air - 1)
-    batching_deg = 3 * num_airs - 1
-    constraint_batching_bits = (
-        min(fb - math.log2(fused_deg), fb - math.log2(batching_deg)) - l2_list
+    constraint_batching_bits = constraint_batching_soundness(
+        fb,
+        max_num_constraints_per_air,
+        num_airs,
+        params.l_skip,
+        max_log_trace_height,
+        n_logup,
+        l2_list,
     )
 
     stacked_reduction_bits = (
@@ -268,7 +323,7 @@ def calculate_soundness(
             whir.proximity.in_round(rnd + 1), fb, cur_log_deg, next_rate, 2
         ).log2_list_size
         batch_size = rc.num_queries + 1  # one OOD sample
-        gamma_bits = fb - math.log2(batch_size) - next_l2_ls
+        gamma_bits = whir_gamma_batching_security(fb, batch_size, next_l2_ls)
         min_gamma = min(min_gamma, gamma_bits)
         shift_bits = combine_security_bits(q_bits, gamma_bits)
         min_shift = min(min_shift, shift_bits)

@@ -70,6 +70,57 @@ class TestProductionPresets:
     def test_root_preset(self):
         self._check(root_params_with_100_bits_security(21), 21)
 
+    def test_logup_list_size_is_security_penalty(self):
+        """List size subtracts linearly (reference calculator.rs:1085)."""
+        from swirl.soundness import logup_soundness
+
+        no_list = logup_soundness(1 << 27, 4, 124.0, 0.0)
+        with_list = logup_soundness(1 << 27, 4, 124.0, 5.0)
+        assert abs(no_list - with_list - 5.0) < 1e-9
+
+    def test_fused_batch_constraint_boundary_soundness(self):
+        """Exact boundary-degree formula (reference calculator.rs:1104)."""
+        import math
+
+        from swirl.soundness import constraint_batching_soundness
+
+        sec = constraint_batching_soundness(100.0, 11, 7, 3, 10, 4, 2.0)
+        expected_degree = max(3.0 + 7.0 + 10.0, 20.0)
+        assert abs(sec - (100.0 - math.log2(expected_degree) - 2.0)) < 1e-9
+
+    def test_whir_unique_decoding_security(self):
+        """Per-query bits at unique decoding: ~0.415 at rate 1/2, ~0.678 at
+        rate 1/4 (reference calculator.rs:1120)."""
+        from swirl.params import ProximityRegime
+
+        ud = ProximityRegime(kind="unique")
+        assert abs(ud.query_security_bits(100, 1) - 41.5) < 1.0
+        assert abs(ud.query_security_bits(100, 2) - 67.8) < 1.0
+
+    def test_whir_gamma_batching_uses_list_size_and_batch_size(self):
+        import math
+
+        from swirl.soundness import whir_gamma_batching_security
+
+        sec = whir_gamma_batching_security(100.0, 5, 3.0)
+        assert abs(sec - (100.0 - math.log2(5.0) - 3.0)) < 1e-9
+
+    def test_bchks25_reference_m2_enforces_dz_ge_dy(self):
+        from swirl.soundness import bchks25_reference_log2_degrees
+
+        _, l2_dy, l2_dz = bchks25_reference_log2_degrees(24, 2, 2)
+        assert l2_dz >= l2_dy
+
+    def test_bchks25_m1_requires_rho_below_four_ninths(self):
+        import math
+
+        from swirl.soundness import log2_a_bound_bchks25
+
+        invalid = log2_a_bound_bchks25(12, 1, 1)  # rho = 1/2 > 4/9
+        assert math.isinf(invalid[0]) and math.isinf(invalid[1])
+        valid = log2_a_bound_bchks25(12, 2, 1)  # rho = 1/4 < 4/9
+        assert math.isfinite(valid[0])
+
     def test_min_whir_queries_monotone(self):
         p = app_params_with_100_bits_security(24)
         assert min_whir_queries(p, 100) > min_whir_queries(p, 50)
