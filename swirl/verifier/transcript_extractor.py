@@ -87,14 +87,57 @@ class _Stream:
         return self.pos == len(self.log)
 
 
+def whir_hints_from_proof(proof: Proof) -> "WhirProofHints":
+    """The Merkle-bound WHIR objects of an existing proof, for splicing into
+    an extraction (reference ``WhirProofHints::from``)."""
+    w = proof.whir_proof
+    return WhirProofHints(
+        initial_round_opened_rows=w.initial_round_opened_rows,
+        initial_round_merkle_proofs=w.initial_round_merkle_proofs,
+        codeword_opened_values=w.codeword_opened_values,
+        codeword_merkle_proofs=w.codeword_merkle_proofs,
+    )
+
+
+class WhirProofHints:
+    """Out-of-band hints completing an extracted proof (peer of reference
+    ``transcript_extractor.rs:118``). The WHIR transcript does not observe
+    query openings or Merkle authentication paths — they are bound by the
+    Merkle roots and the sampled indices instead (a different accepted
+    opening would imply a hash collision or Merkle equivocation) — so
+    extraction takes them out-of-band; with hints supplied, the extracted
+    proof passes the FULL verifier."""
+
+    __slots__ = (
+        "initial_round_opened_rows",
+        "initial_round_merkle_proofs",
+        "codeword_opened_values",
+        "codeword_merkle_proofs",
+    )
+
+    def __init__(
+        self,
+        initial_round_opened_rows,
+        initial_round_merkle_proofs,
+        codeword_opened_values,
+        codeword_merkle_proofs,
+    ):
+        self.initial_round_opened_rows = initial_round_opened_rows
+        self.initial_round_merkle_proofs = initial_round_merkle_proofs
+        self.codeword_opened_values = codeword_opened_values
+        self.codeword_merkle_proofs = codeword_merkle_proofs
+
+
 def extract_proof_from_transcript(
     mvk: MultiStarkVerifyingKey,
     trace_vdata: List[Optional[TraceVData]],
     public_values: List[List[int]],
     log: Sequence,
+    whir_hints: Optional[WhirProofHints] = None,
 ) -> Proof:
     """Rebuild the transcript-borne proof content from a recorded verifier
-    (or prover) event log. Query-opening fields are left empty."""
+    (or prover) event log. Query-opening fields are left empty unless
+    `whir_hints` supplies the Merkle-bound objects."""
     params = mvk.params
     l_skip = params.l_skip
     s = _Stream(log)
@@ -337,10 +380,26 @@ def extract_proof_from_transcript(
             ood_values=ood_values,
             folding_pow_witnesses=folding_pow_witnesses,
             query_phase_pow_witnesses=query_phase_pow_witnesses,
-            initial_round_opened_rows=[[] for _ in layouts],
-            initial_round_merkle_proofs=[[] for _ in layouts],
-            codeword_opened_values=[],
-            codeword_merkle_proofs=[],
+            initial_round_opened_rows=(
+                whir_hints.initial_round_opened_rows
+                if whir_hints is not None
+                else [[] for _ in layouts]
+            ),
+            initial_round_merkle_proofs=(
+                whir_hints.initial_round_merkle_proofs
+                if whir_hints is not None
+                else [[] for _ in layouts]
+            ),
+            codeword_opened_values=(
+                whir_hints.codeword_opened_values
+                if whir_hints is not None
+                else []
+            ),
+            codeword_merkle_proofs=(
+                whir_hints.codeword_merkle_proofs
+                if whir_hints is not None
+                else []
+            ),
             final_poly=final_poly,
         ),
     )

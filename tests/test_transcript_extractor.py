@@ -57,6 +57,24 @@ class TestTranscriptExtractor:
         )
         _assert_fields_equal(proof, extracted)
 
+    def test_extracted_proof_verifies_with_hints(self, recorded_fib_setup):
+        """With the Merkle-bound WHIR objects supplied out-of-band, the
+        extracted proof passes the FULL verifier (reference WhirProofHints
+        round-trip, transcript_extractor.rs:91-151)."""
+        from swirl.codec import encode_proof
+        from swirl.verifier.transcript_extractor import whir_hints_from_proof
+
+        eng, vk, _, _, proof, log = recorded_fib_setup
+        extracted = extract_proof_from_transcript(
+            vk,
+            proof.trace_vdata,
+            proof.public_values,
+            log,
+            whir_hints=whir_hints_from_proof(proof),
+        )
+        assert encode_proof(extracted) == encode_proof(proof)
+        eng.verify(vk, extracted)
+
     def test_tampered_stream_detected(self, recorded_fib_setup):
         import pytest
 
