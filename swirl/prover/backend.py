@@ -98,10 +98,24 @@ class ProverConfig:
     cache_rs_code_matrix: bool = True
 
 
+# The univariate-skip domain is materialized per chunk (coset-DFT grids of
+# 2^l_skip points x d cosets); past this bound the grids no longer fit the
+# per-stage working-set model (peer of the reference GPU device's
+# ``validate_gpu_l_skip``: ``cuda-backend/src/device.rs:59``, l_skip <= 9).
+MAX_BACKEND_L_SKIP = 9
+
+
 class JaxBackend:
     """Device operations for commitment + the two proving stages."""
 
     def __init__(self, params: SystemParams, config: Optional[ProverConfig] = None):
+        if params.l_skip > MAX_BACKEND_L_SKIP:
+            from .errors import ProverError
+
+            raise ProverError(
+                f"JaxBackend requires l_skip <= {MAX_BACKEND_L_SKIP}, "
+                f"got {params.l_skip}"
+            )
         self.params = params
         self.config = config or ProverConfig()
 

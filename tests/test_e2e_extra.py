@@ -109,6 +109,14 @@ class TestStackingAndParams:
         eng = StarkEngine(small_params(6, 2, 2))
         fib_case(eng, n=16)
 
+    def test_l_skip_bound_rejected(self):
+        """Backend rejects l_skip above the kernel bound (reference
+        cuda device.rs:59 validate_gpu_l_skip, l_skip <= 9)."""
+        from swirl.prover.errors import ProverError
+
+        with pytest.raises(ProverError):
+            StarkEngine(small_params(10, 2, 2))
+
     def test_two_cached_parts_roundtrip(self):
         """Two cached-main partitions in one AIR (reference sweeps
         cached-part counts 1-3)."""
