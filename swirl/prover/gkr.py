@@ -71,11 +71,13 @@ def _scan_ok(transcript) -> bool:
 # ``lax.scan`` body per layer (fixed-size buffer, masked) instead of being
 # unrolled — the unrolled pyramid is O(total_rounds^2) traced bodies, which
 # is what blew up trace+compile time of the fused prover at tall heights.
-# A GKR pair-eval is ~17 EF ops, so even a 2^16-entry masked buffer costs
-# <<1% of the fraction-tree build; the MLE rounds use a smaller threshold
-# (_MLE_TAIL_LOG) because their body is a full constraint-DAG evaluation.
-_TAIL_LOG = 16
-_MLE_TAIL_LOG = 12
+# A GKR pair-eval is ~17 EF ops, so even a 2^20-entry masked buffer adds
+# only ~1e8 EF ops (~tens of ms on a TPU VPU) while removing every
+# unrolled head body below 2^20 from the traced program; the MLE rounds
+# use a smaller threshold (_MLE_TAIL_LOG) because their body is a full
+# constraint-DAG evaluation, where masked-scan overhead is real compute.
+_TAIL_LOG = 20
+_MLE_TAIL_LOG = 14
 
 
 def _layer_rounds_scan(state0, cols, lam_dev, num_subs: int):
