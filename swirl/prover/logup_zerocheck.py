@@ -262,7 +262,6 @@ def _mle_rounds_scan(
         sp_head_zc = [jnp.asarray(text.ezero()) for _ in range(d_global)]
         sp_head_logup = [jnp.asarray(text.ezero()) for _ in range(d_global)]
         new_bufs = []
-        folds_pending = []
         for t_idx, t in enumerate(traces):
             sels, prep_pair, main_pairs = bufs[t_idx]
             has_int = bool(t.dag.interactions)
