@@ -222,7 +222,15 @@ def prove_stacked_opening_reduction(
             v.ef_dev(v.ext.emul(ind, eq_uni)), tab
         )
 
-    eq_ub = [v.ext.eone() for _ in trace_views]
+    # per-group eq(u, b) accumulators for the tilde regime, as (G, 4) vmode
+    # vectors keyed by group start (lazily created on first tilde round)
+    eq_ub_g: Dict[int, object] = {}
+
+    def _tilde_eq_ub(s: int):
+        if s not in eq_ub_g:
+            e = next(e2 for (s2, e2) in groups if s2 == s)
+            eq_ub_g[s] = v.stack([v.ext.eone()] * (e - s))
+        return eq_ub_g[s]
 
     # ---- rounds 1..n_stack ----------------------------------------------------
     sumcheck_round_polys: List[List[np.ndarray]] = []
@@ -262,39 +270,90 @@ def prove_stacked_opening_reduction(
                     )
                     s_evals[xi] = v.ext.eadd(s_evals[xi], v.ef(val))
             else:
+                # tilde regime, vectorized over the whole group: one batched
+                # pair gather + (G, 4) kernel algebra instead of a per-view
+                # scalar chain (the per-view loop dominated the fused seg3
+                # program at production widths). Same modular values.
                 eq0 = v.ef(eq_tab[0])
                 krot0 = v.ef(krot_tab[0])
-                for i in range(s, e):
-                    tv = trace_views[i]
-                    sl = tv.slice
-                    row_start = (sl.row_idx >> (l_skip + rnd)) << 1
-                    q_pair = v.ef(
-                        jax_slice_ext(q_evals[tv.com_idx], sl.col_idx, row_start, 2)
+                g_size = e - s
+                cols_i = np.asarray(
+                    [trace_views[i].slice.col_idx for i in range(s, e)]
+                )
+                starts = np.asarray(
+                    [
+                        (trace_views[i].slice.row_idx >> (l_skip + rnd)) << 1
+                        for i in range(s, e)
+                    ]
+                )
+                b_bits = [
+                    (trace_views[i].slice.row_idx >> (l_skip + rnd - 1)) & 1
+                    for i in range(s, e)
+                ]
+                # one batched gather per commitment run (a group can span
+                # commitments: e.g. a preprocessed commit at the same height)
+                rows = starts[:, None] + np.arange(2)[None, :]
+                pieces = []
+                run_start = 0
+                for i in range(1, g_size + 1):
+                    if (
+                        i == g_size
+                        or trace_views[s + i].com_idx
+                        != trace_views[s + run_start].com_idx
+                    ):
+                        com = trace_views[s + run_start].com_idx
+                        pieces.append(
+                            q_evals[com][
+                                jnp.asarray(cols_i[run_start:i])[:, None],
+                                jnp.asarray(rows[run_start:i]),
+                            ]
+                        )
+                        run_start = i
+                q_pairs = v.ef(
+                    pieces[0]
+                    if len(pieces) == 1
+                    else jnp.concatenate(pieces, axis=0)
+                )  # (G, 2, 4)
+                lam_eq_vals = v.stack(
+                    [lambda_pows[trace_views[i].lambda_eq_idx] for i in range(s, e)]
+                )
+                lam_rot_vals = v.stack(
+                    [
+                        lambda_pows[trace_views[i].lambda_rot_idx]
+                        if trace_views[i].lambda_rot_idx is not None
+                        else v.ext.ezero()
+                        for i in range(s, e)
+                    ]
+                )
+                ub_base = _tilde_eq_ub(s)
+                for xi, x in enumerate((1, 2)):
+                    q_x = v.ext.eadd(
+                        q_pairs[:, 0],
+                        v.ext.escale(
+                            v.ext.esub(q_pairs[:, 1], q_pairs[:, 0]), x
+                        ),
                     )
-                    b = (sl.row_idx >> (l_skip + rnd - 1)) & 1
-                    for xi, x in enumerate((1, 2)):
-                        q_x = v.ext.eadd(
-                            q_pair[0],
-                            v.ext.escale(v.ext.esub(q_pair[1], q_pair[0]), x),
-                        )
-                        eqb = v.poly.eval_eq_mle(
-                            v.ext.from_base(x).reshape(1, 4),
-                            v.ext.from_base(b).reshape(1, 4),
-                        )
-                        ub = v.ext.emul(eq_ub[i], eqb)
-                        acc = v.ext.emul(
-                            lambda_pows[tv.lambda_eq_idx],
-                            v.ext.emul(q_x, v.ext.emul(eq0, ub)),
-                        )
-                        if tv.lambda_rot_idx is not None:
-                            acc = v.ext.eadd(
-                                acc,
-                                v.ext.emul(
-                                    lambda_pows[tv.lambda_rot_idx],
-                                    v.ext.emul(q_x, v.ext.emul(krot0, ub)),
-                                ),
-                            )
-                        s_evals[xi] = v.ext.eadd(s_evals[xi], acc)
+                    # eq(x, b) = 1 + 2xb - x - b: a static per-view constant
+                    eqb_vec = v.stack(
+                        [
+                            v.ext.from_base((1 + 2 * x * b - x - b) % P)
+                            for b in b_bits
+                        ]
+                    )
+                    ub = v.ext.emul(ub_base, eqb_vec)
+                    acc = v.ext.emul(
+                        lam_eq_vals, v.ext.emul(q_x, v.ext.emul(eq0, ub))
+                    )
+                    acc = v.ext.eadd(
+                        acc,
+                        v.ext.emul(
+                            lam_rot_vals,
+                            v.ext.emul(q_x, v.ext.emul(krot0, ub)),
+                        ),
+                    )
+                    s_evals[xi] = v.ext.eadd(
+                        s_evals[xi], v.ext.esum(acc, axis=0)
+                    )
 
         for ev in s_evals:
             transcript.observe_ext(ev)
@@ -311,16 +370,28 @@ def prove_stacked_opening_reduction(
             lht: fold_mle_vec(tab, u_dev) if tab.shape[0] > 1 else tab
             for lht, tab in k_rot_per_lht.items()
         }
-        for i, tv in enumerate(trace_views):
-            n_lift = max(tv.slice.log_height - l_skip, 0)
+        for s, e in groups:
+            n_lift = max(trace_views[s].slice.log_height - l_skip, 0)
             if rnd > n_lift:
-                b = (tv.slice.row_idx >> (l_skip + rnd - 1)) & 1
-                eq_ub[i] = v.ext.emul(
-                    eq_ub[i],
-                    v.poly.eval_eq_mle(
-                        u_rnd.reshape(1, 4), v.ext.from_base(b).reshape(1, 4)
+                # eq(u, b) = u if b else (1 - u), vectorized with the static
+                # 0/1 bit vector: factor = b*u + (1-b)*(1-u)
+                b_vec = v.stack(
+                    [
+                        v.ext.from_base(
+                            (trace_views[i].slice.row_idx >> (l_skip + rnd - 1))
+                            & 1
+                        )
+                        for i in range(s, e)
+                    ]
+                )
+                one = v.ext.eone()
+                factor = v.ext.eadd(
+                    v.ext.emul(b_vec, u_rnd),
+                    v.ext.emul(
+                        v.ext.esub(one, b_vec), v.ext.esub(one, u_rnd)
                     ),
                 )
+                eq_ub_g[s] = v.ext.emul(_tilde_eq_ub(s), factor)
 
     def _rounds_scan(rnd0: int, L: int):
         """Rounds rnd0..rnd0+L-1 as ONE lax.scan (trace mode, every view
