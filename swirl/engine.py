@@ -37,7 +37,13 @@ class StarkEngine:
         ``StarkEngine::proving_memory_config``, ``engine.rs:68-78``)."""
         from .memory_metering import ProvingMemoryConfig
 
-        return ProvingMemoryConfig.from_params(self.params)
+        cfg = self.backend.config
+        return ProvingMemoryConfig.from_params(
+            self.params,
+            cache_stacked_matrix=cfg.cache_stacked_matrix,
+            cache_rs_code_matrix=cfg.cache_rs_code_matrix,
+            zerocheck_save_memory=bool(cfg.zerocheck_save_memory),
+        )
 
     # -- keygen ----------------------------------------------------------------
 

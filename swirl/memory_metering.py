@@ -64,12 +64,15 @@ class ProvingMemoryConfig:
     max_constraint_degree: int
     cache_stacked_matrix: bool = True
     cache_rs_code_matrix: bool = True
+    # chunked round-0 coset grids (8 segments); see ProverConfig
+    zerocheck_save_memory: bool = False
 
     @staticmethod
     def from_params(
         params: SystemParams,
         cache_stacked_matrix: bool = True,
         cache_rs_code_matrix: bool = True,
+        zerocheck_save_memory: bool = False,
     ) -> "ProvingMemoryConfig":
         return ProvingMemoryConfig(
             l_skip=params.l_skip,
@@ -79,6 +82,7 @@ class ProvingMemoryConfig:
             max_constraint_degree=params.max_constraint_degree,
             cache_stacked_matrix=cache_stacked_matrix,
             cache_rs_code_matrix=cache_rs_code_matrix,
+            zerocheck_save_memory=zerocheck_save_memory,
         )
 
     @property
@@ -112,11 +116,14 @@ class ProvingMemoryConfig:
             counts.main_cells_with_rot * 2 + counts.main_cells_without_rot
         ) * per_cell >> self.l_skip
         # round-0 coset grid: num_cosets lifted copies in base field (plus
-        # the EF accumulator of the same footprint)
+        # the EF accumulator of the same footprint); the save-memory policy
+        # materializes 1/8 of it at a time
         num_cosets = max(self.max_constraint_degree - 1, 1)
         round0 = counts.main_cells * num_cosets * (
             BASE_FIELD_SIZE + EXT_DEGREE * BASE_FIELD_SIZE
         )
+        if self.zerocheck_save_memory:
+            round0 //= 8
         return max(folded, round0) + XLA_SCRATCH_OVERHEAD
 
     def gkr_memory_bytes(self, interaction_cells: int) -> int:

@@ -96,6 +96,10 @@ class ProverConfig:
 
     cache_stacked_matrix: bool = True
     cache_rs_code_matrix: bool = True
+    # chunk the round-0 coset-grid evaluation (8 segments) so the live grid
+    # is 1/8 of the full one; None resolves to (log_blowup == 1) like the
+    # reference default (device.rs:65)
+    zerocheck_save_memory: Optional[bool] = None
 
 
 # The univariate-skip domain is materialized per chunk (coset-DFT grids of
@@ -118,6 +122,8 @@ class JaxBackend:
             )
         self.params = params
         self.config = config or ProverConfig()
+        if self.config.zerocheck_save_memory is None:
+            self.config.zerocheck_save_memory = params.log_blowup == 1
 
     # -- commitment ----------------------------------------------------------
 
@@ -244,7 +250,11 @@ class Coordinator:
             )
         with metrics.span("prove_rap_constraints"):
             gkr_proof, batch_proof, r = prove_zerocheck_and_logup(
-                transcript, params, mpk.max_constraint_degree, traces
+                transcript,
+                params,
+                mpk.max_constraint_degree,
+                traces,
+                save_memory=bool(self.backend.config.zerocheck_save_memory),
             )
 
         # stage: openings (stacked reduction + WHIR)

@@ -435,7 +435,11 @@ def _segmented_fn(backend, mpk, ctx):
                     )
                 )
             gkr_proof, batch_proof, r = prove_zerocheck_and_logup(
-                t, params, mpk.max_constraint_degree, traces
+                t,
+                params,
+                mpk.max_constraint_degree,
+                traces,
+                save_memory=bool(backend.config.zerocheck_save_memory),
             )
         save_cursor(t, "cur2")
         return (

@@ -20,6 +20,7 @@ from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..fields import ext as hext
@@ -54,6 +55,12 @@ from .sumcheck import (
     selectors_matrix,
 )
 from .vmode import vm
+
+
+# zerocheck_save_memory engages chunked round-0 grids only for traces with
+# at least this many hypercube chunks (8 segments need n_chunks % 8 == 0,
+# and small grids are not worth the sequentialization)
+_SAVE_MEMORY_MIN_CHUNKS_LOG = 13
 
 
 def sumcheck_round0_deg(l_skip: int, d: int) -> int:
@@ -420,6 +427,7 @@ def prove_zerocheck_and_logup(
     params: SystemParams,
     global_degree: int,
     traces: List[TraceProver],
+    save_memory: bool = False,
 ) -> Tuple[GkrProof, BatchConstraintProof, List[np.ndarray]]:
     v = vm()
     l_skip = params.l_skip
@@ -583,34 +591,126 @@ def prove_zerocheck_and_logup(
         d_air = t.d_air
         sels_base = selectors_matrix(t.height, l_skip)
 
-        def coset_grids(num_cosets: int):
+        def coset_grids(num_cosets: int, row_lo: int = 0, rows: int = 0):
+            """Coset-evaluation grids; with rows > 0, only the chunk range
+            covering matrix rows [row_lo, row_lo + rows) is materialized
+            (the zerocheck_save_memory policy — the full grid is the peak
+            HBM buffer of the prove)."""
             shifts = [pow(g, c + 1, P) for c in range(num_cosets)]
-            sels_grid = coset_eval_chunks(sels_base, l_skip, shifts, False)
+
+            def seg(m, is_rot):
+                if rows:
+                    if is_rot:
+                        # rot1 wraps at the FULL height; take rows
+                        # [row_lo+1, row_lo+1+rows) of the cyclically
+                        # extended matrix
+                        ext_m = jnp.concatenate([m, m[:, :1]], axis=1)
+                        m = jax.lax.dynamic_slice_in_dim(
+                            ext_m, row_lo + 1, rows, axis=1
+                        )
+                        is_rot = False
+                    else:
+                        m = jax.lax.dynamic_slice_in_dim(m, row_lo, rows, axis=1)
+                return coset_eval_chunks(m, l_skip, shifts, is_rot)
+
+            sels_grid = seg(sels_base, False)
             pairs = []
             for m in t.base_parts():
-                local = coset_eval_chunks(m, l_skip, shifts, False)
-                nxt = (
-                    coset_eval_chunks(m, l_skip, shifts, True)
-                    if t.needs_next
-                    else None
-                )
+                local = seg(m, False)
+                nxt = seg(m, True) if t.needs_next else None
                 pairs.append((local, nxt))
             prep_pair = pairs[0] if t.has_preprocessed() else None
             main_pairs = pairs[1:] if t.has_preprocessed() else pairs
             return shifts, sels_grid, prep_pair, main_pairs
 
+        n_chunks = 1 << n_lift
+        use_chunked = save_memory and t.height >= (
+            1 << (l_skip + _SAVE_MEMORY_MIN_CHUNKS_LOG)
+        )
+        seg_chunks = n_chunks // 8 if use_chunked else n_chunks
+
+        def chunked_sums(num_cosets: int, eval_fn, n_out: int):
+            """Accumulate eq-weighted chunk sums over chunk segments.
+
+            eval_fn(grids...) -> tuple of n_out (chunks, B_z, 4) arrays.
+            Returns n_out (B_z, 4) sums. One-shot when not in save-memory
+            mode; otherwise a python loop (host) / lax.scan (trace) over 8
+            segments bounds the live grid to 1/8 of the full one. Exact
+            same modular values (sum order is irrelevant mod P)."""
+            if not use_chunked:
+                _, sels_g, prep_g, main_g = coset_grids(num_cosets)
+                parts = eval_fn(sels_g, prep_g, main_g)
+                return tuple(
+                    v.ef(
+                        jf.ext_sum(jf.ext_mul(p, eq_tab[:, None, :]), axis=0)
+                    )
+                    for p in parts
+                )
+
+            seg_rows = seg_chunks << l_skip
+
+            def segment(ci):
+                row_lo = ci * seg_rows
+                _, sels_g, prep_g, main_g = coset_grids(
+                    num_cosets, row_lo=row_lo, rows=seg_rows
+                )
+                parts = eval_fn(sels_g, prep_g, main_g)
+                eq_seg = jax.lax.dynamic_slice_in_dim(
+                    eq_tab, ci * seg_chunks, seg_chunks, axis=0
+                )
+                return tuple(
+                    jf.ext_sum(jf.ext_mul(p, eq_seg[:, None, :]), axis=0)
+                    for p in parts
+                )
+
+            if v.is_trace:
+                def body(carry, ci):
+                    outs = segment(ci)
+                    return (
+                        tuple(jf.ext_add(c, o) for c, o in zip(carry, outs)),
+                        None,
+                    )
+
+                init = tuple(
+                    jnp.zeros((num_cosets << l_skip, 4), jnp.uint32)
+                    for _ in range(n_out)
+                )
+                acc, _ = jax.lax.scan(
+                    body, init, jnp.arange(8, dtype=jnp.uint32)
+                )
+                return tuple(v.ef(a) for a in acc)
+            totals = None
+            for ci in range(8):
+                outs = [np.asarray(jf.to_host(o)) for o in segment(ci)]
+                if totals is None:
+                    totals = outs
+                else:
+                    totals = [hext.eadd(a, b) for a, b in zip(totals, outs)]
+            return tuple(totals)
+
+        # selectors are row-global: the save-memory path slices them, which
+        # is only valid when the trace is NOT lifted (height >= 2^l_skip) —
+        # guaranteed by the use_chunked height bound
         # zerocheck: (d_air - 1) cosets, divide by zerofier, interpolate q
         num_zc_cosets = d_air - 1
         sp0_deg_air = sumcheck_round0_deg(l_skip, d_air)
         if num_zc_cosets == 0:
             sp0_zc.append(v.stack([ZERO] * (sp0_deg_air + 1)))
         else:
-            shifts, sels_grid, prep_pair, main_pairs = coset_grids(num_zc_cosets)
-            ev = DeviceEvaluator(sels_grid, prep_pair, main_pairs, t.public_values, False)
-            acc = acc_constraints_device(t.dag, ev, lambda_pows_dev)
-            # weight by eq(xi, x) over chunks and sum
-            weighted = jf.ext_mul(acc, eq_tab[:, None, :])
-            sums = v.ef(jf.ext_sum(weighted, axis=0))  # (B_z, 4)
+            shifts = [pow(g, c + 1, P) for c in range(num_zc_cosets)]
+            (sums,) = chunked_sums(
+                num_zc_cosets,
+                lambda sels_g, prep_g, main_g: (
+                    acc_constraints_device(
+                        t.dag,
+                        DeviceEvaluator(
+                            sels_g, prep_g, main_g, t.public_values, False
+                        ),
+                        lambda_pows_dev,
+                    ),
+                ),
+                1,
+            )
             # divide by zerofier (z^{2^l} - 1): depends only on the coset
             zf = []
             for c, sh in enumerate(shifts):
@@ -633,19 +733,21 @@ def prove_zerocheck_and_logup(
         if not t.dag.interactions:
             sp0_logup.append((v.stack([]), v.stack([])))
         else:
-            shifts, sels_grid, prep_pair, main_pairs = coset_grids(d_air)
-            ev = DeviceEvaluator(sels_grid, prep_pair, main_pairs, t.public_values, False)
-            numer, denom = acc_interactions_device(
-                t.dag,
-                ev,
-                beta_pows_dev,
-                bus_terms_host(t),
-                v.const_vec(eq_3b_per_trace[t_idx]),
+            bus_terms_dev = bus_terms_host(t)
+            eq_3b_dev = v.const_vec(eq_3b_per_trace[t_idx])
+            n_sum, d_sum = chunked_sums(
+                d_air,
+                lambda sels_g, prep_g, main_g: acc_interactions_device(
+                    t.dag,
+                    DeviceEvaluator(
+                        sels_g, prep_g, main_g, t.public_values, False
+                    ),
+                    beta_pows_dev,
+                    bus_terms_dev,
+                    eq_3b_dev,
+                ),
+                2,
             )
-            numer = jf.ext_mul(numer, eq_tab[:, None, :])
-            denom = jf.ext_mul(denom, eq_tab[:, None, :])
-            n_sum = v.ef(jf.ext_sum(numer, axis=0))
-            d_sum = v.ef(jf.ext_sum(denom, axis=0))
             grid_n = jnp_transpose(v, n_sum, d_air, l_skip)
             grid_d = jnp_transpose(v, d_sum, d_air, l_skip)
             numer_coeffs = v.poly.from_geometric_cosets_evals(grid_n, g, g)

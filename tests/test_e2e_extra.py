@@ -188,6 +188,44 @@ class TestProverConfig:
         assert cfg.stacked_matrix_memory_bytes(1 << 12) > 0
 
 
+class TestZerocheckSaveMemory:
+    def test_save_memory_proof_is_identical(self, monkeypatch):
+        """zerocheck_save_memory (chunked round-0 coset grids) must produce
+        byte-identical proofs — the chunk-segment sum order is irrelevant
+        mod P (reference GpuProverConfig.zerocheck_save_memory,
+        device.rs:29)."""
+        from swirl.codec import encode_proof
+        from swirl.prover import logup_zerocheck
+        from swirl.prover.backend import ProverConfig, ProvingContext
+        from swirl.testing.fixtures import SelfInteractionAir
+
+        # engage chunking at test heights (n_chunks = 8 at h=32, l_skip=2)
+        monkeypatch.setattr(
+            logup_zerocheck, "_SAVE_MEMORY_MIN_CHUNKS_LOG", 3
+        )
+        air = SelfInteractionAir(4)
+        trace = air.generate_trace(32)
+        blobs = []
+        for save in (False, True):
+            eng = StarkEngine(
+                small_params(2, 5, 2),
+                prover_config=ProverConfig(zerocheck_save_memory=save),
+            )
+            pk, vk = eng.keygen([air])
+            ctx = ProvingContext([eng.context_for(0, trace, [], [])])
+            proof = eng.prove(eng.transport_pk(pk), ctx)
+            eng.verify(vk, proof)
+            blobs.append(encode_proof(proof))
+        assert blobs[0] == blobs[1]
+
+    def test_save_memory_default_follows_blowup(self):
+        from swirl.engine import StarkEngine
+
+        eng = StarkEngine(small_params(2, 4, 2))  # log_blowup = 1
+        assert eng.backend.config.zerocheck_save_memory is True
+        assert eng.proving_memory_config().zerocheck_save_memory is True
+
+
 class TestKeygenDiagnostics:
     def test_find_unused_vars(self):
         from swirl.air import Air
