@@ -272,10 +272,13 @@ def main():
     def left():
         return total_budget - (time.perf_counter() - t_start)
 
+    # Attempt the SAME shape twice: stage programs that finished compiling
+    # in a killed attempt persist in the compilation cache, so the retry
+    # resumes from the next segment instead of starting over.
     attempts = [
         ("e2e", {"SWIRL_BENCH_LOG_ROWS": LOG_ROWS},
          float(os.environ.get("SWIRL_BENCH_E2E_BUDGET_S", "300"))),
-        ("e2e", {"SWIRL_BENCH_LOG_ROWS": max(LOG_ROWS - 4, 12)}, 150.0),
+        ("e2e", {"SWIRL_BENCH_LOG_ROWS": LOG_ROWS}, 150.0),
         ("commit", {"SWIRL_BENCH_LOG_ROWS": LOG_ROWS}, 10_000.0),
     ]
     for stage_name, env_over, budget in attempts:
