@@ -14,6 +14,7 @@ combination and per-round sumcheck evaluation are fully batched EF programs.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 from typing import List, Tuple
 
 import numpy as np
@@ -80,24 +81,28 @@ _TAIL_LOG = 20
 _MLE_TAIL_LOG = 14
 
 
-def _layer_rounds_scan(state0, cols, lam_dev, num_subs: int):
-    """All `num_subs` masked sub-rounds of one GKR layer as ONE lax.scan.
+# tier-padded scan buffers: layers with 2^rnd <= tier share ONE jitted scan
+# body (one traced definition instead of one per distinct layer size). The
+# masked sub-round cost of a padded layer is bounded by its tier.
+_SCAN_TIERS = (12, 16, 20)
 
-    state0: (16,) sponge state entering with absorb_idx == 0 (guaranteed:
-    every entry point follows a ``sample_ext``). cols: (5, B, 4) Monty with
-    the ACTIVE entries (2^num_subs of them) contiguous at the front.
 
-    Each step is bit-identical to the unrolled path: absorb the 3 round-poly
-    EF evals (12 felts: fill rate, permute, fill 4), squeeze one EF
-    challenge, fold. Returns (final sponge state, final cols buffer,
-    (num_subs, 3, 4) evals, (num_subs, 4) challenges).
-    """
+def _scan_tier_entries(size: int) -> int:
+    for t in _SCAN_TIERS:
+        if size <= (1 << t):
+            return 1 << t
+    return size
+
+
+@lru_cache(maxsize=None)
+def _layer_scan_step_jit(n_pairs: int):
+    """One masked GKR sub-round (eval3 + duplex absorb/squeeze + fold) as a
+    SHARED pjit — every layer scan whose buffer is this tier size calls the
+    same traced body."""
     from .device_transcript import duplex_absorb_sample_ext
 
-    n_pairs = cols.shape[1] // 2
-
-    def body(carry, _):
-        state, cols, active_pairs = carry
+    @jax.jit
+    def step(state, cols, active_pairs, lam_dev):
         mask = jax.lax.iota(jnp.uint32, n_pairs) < active_pairs  # bool
         pairs = cols.reshape(5, n_pairs, 2, 4)
         t0, t1 = pairs[:, :, 0], pairs[:, :, 1]
@@ -123,11 +128,40 @@ def _layer_rounds_scan(state0, cols, lam_dev, num_subs: int):
 
         folded = jf.ext_add(t0, jf.ext_mul(d, r))  # (5, n_pairs, 4)
         cols = jnp.concatenate([folded, jnp.zeros_like(folded)], axis=1)
+        return state, cols, evals3, r
+
+    return step
+
+
+def _layer_rounds_scan(state0, cols, lam_dev, num_subs: int):
+    """All `num_subs` masked sub-rounds of one GKR layer as ONE lax.scan.
+
+    state0: (16,) sponge state entering with absorb_idx == 0 (guaranteed:
+    every entry point follows a ``sample_ext``). cols: (5, B, 4) Monty with
+    the ACTIVE entries (2^num_subs of them) contiguous at the front; the
+    buffer is zero-padded up to the tier size so layers share the traced
+    step body.
+
+    Each step is bit-identical to the unrolled path. Returns (final sponge
+    state, final cols buffer, (num_subs, 3, 4) evals, (num_subs, 4)
+    challenges).
+    """
+    active = int(cols.shape[1])
+    tier = _scan_tier_entries(active)
+    if tier > active:
+        cols = jnp.concatenate(
+            [cols, jnp.zeros((5, tier - active, 4), jnp.uint32)], axis=1
+        )
+    step = _layer_scan_step_jit(tier // 2)
+
+    def body(carry, _):
+        state, cols, active_pairs = carry
+        state, cols, evals3, r = step(state, cols, active_pairs, lam_dev)
         return (state, cols, active_pairs >> 1), (evals3, r)
 
     (state, cols, _), (evals_all, r_all) = jax.lax.scan(
         body,
-        (state0, cols, jnp.uint32(n_pairs)),
+        (state0, cols, jnp.uint32(active // 2)),
         None,
         length=num_subs,
     )
