@@ -65,6 +65,42 @@ def test_fused_scan_head_tail_seam_byte_identical(monkeypatch):
     eng.verify(vk, proof)
 
 
+def test_fused_program_size_stays_bounded():
+    """Compile-size canary: the whole-proof program must stay roughly
+    height-independent (the scan tier, docs/scan-tier.md). A reintroduced
+    unrolled round pyramid shows up as an HLO blow-up long before it shows
+    up as a timeout."""
+    import jax
+
+    from swirl.engine import StarkEngine
+    from swirl.params import app_params_with_100_bits_security
+    from swirl.prover.backend import ProvingContext
+    from swirl.prover.fused import _segmented_fn
+    from swirl.testing.synthetic import SyntheticAir, uniform_shape
+
+    eng = StarkEngine(app_params_with_100_bits_security(14))
+    air = SyntheticAir(
+        uniform_shape(12, 64, num_constraints=16, num_interactions=8, degree=3)
+    )
+    pk, vk = eng.keygen([air])
+    dpk = eng.transport_pk(pk)
+    ctx = ProvingContext(
+        [eng.context_for(0, air.generate_trace(), [], [])]
+    ).sorted_for_stacking()
+    (s1, s2, s3, s4), _ = _segmented_fn(eng.backend, dpk, ctx)
+    common = [tc.common_main for _, tc in ctx.per_trace]
+    o1 = jax.eval_shape(s1, common)
+    sds = lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
+    lines = (
+        s2.lower(sds(o1[0]), [sds(c.common_main) for _, c in ctx.per_trace])
+        .as_text()
+        .count("\n")
+    )
+    # 30k at 2^12x64 as of round 2; the pre-scan-tier program exceeded
+    # 300k-equivalent (compile never finished)
+    assert lines < 60_000, f"seg2 HLO blew up: {lines} lines"
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("mode", ["jit", "segmented"])
 def test_fused_compiled_mode_byte_identical(fib_setup, mode):
