@@ -99,6 +99,24 @@ def e2e_bench():
         file=sys.stderr,
     )
 
+    # roofline appendix: analytic HBM-bytes / VPU-op lower bounds per stage
+    # joined against the measured spans (swirl/roofline.py documents the
+    # chip peaks and the conservative assumptions)
+    from swirl.roofline import report as roofline_report
+
+    span_ms = {
+        k[: -len("_time_ms")]: v
+        for k, v in spans.items()
+        if k.endswith("_time_ms")
+    }
+    print(
+        "bench: roofline "
+        + json.dumps(
+            roofline_report(params, LOG_ROWS, WIDTH, 8, span_ms)
+        ),
+        file=sys.stderr,
+    )
+
     eng.verify(vk, proof)
 
     # memory-model calibration: predicted HBM peak vs the device's measured

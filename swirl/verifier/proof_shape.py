@@ -24,6 +24,14 @@ def _ensure(cond: bool, msg: str):
         raise ProofShapeError(msg)
 
 
+def _ensure_ef(v, msg: str):
+    _ensure(getattr(v, "shape", None) == (4,), msg)
+
+
+def _ensure_digest(v, msg: str):
+    _ensure(getattr(v, "shape", None) == (8,), msg)
+
+
 def verify_proof_shape(mvk: MultiStarkVerifyingKey, proof: Proof) -> List[StackedLayout]:
     params = mvk.params
     l_skip = params.l_skip
@@ -114,6 +122,12 @@ def verify_proof_shape(mvk: MultiStarkVerifyingKey, proof: Proof) -> List[Stacke
         _ensure(len(layer) == i + 1, f"gkr layer {i + 1} round count mismatch")
         for poly in layer:
             _ensure(len(poly) == 3, "gkr round poly must have 3 evaluations")
+            for ev in poly:
+                _ensure_ef(ev, "gkr round poly eval must be an EF value")
+    _ensure_ef(gp.q0_claim, "gkr q0 claim must be an EF value")
+    for cl in gp.claims_per_layer:
+        for v in (cl.p_xi_0, cl.p_xi_1, cl.q_xi_0, cl.q_xi_1):
+            _ensure_ef(v, "gkr layer claim must be an EF value")
 
     bp = proof.batch_constraint_proof
     _ensure(
@@ -133,10 +147,16 @@ def verify_proof_shape(mvk: MultiStarkVerifyingKey, proof: Proof) -> List[Stacke
     s_deg = params.max_constraint_degree + 1
     for evals in bp.sumcheck_round_polys:
         _ensure(len(evals) == s_deg, "round poly eval count mismatch")
+        for ev in evals:
+            _ensure_ef(ev, "batch round poly eval must be an EF value")
     _ensure(
         len(bp.univariate_round_coeffs) == s_deg * ((1 << l_skip) - 1) + 1,
         "univariate round coeff count mismatch",
     )
+    for c in bp.univariate_round_coeffs:
+        _ensure_ef(c, "univariate round coeff must be an EF value")
+    for v in list(bp.numerator_term_per_air) + list(bp.denominator_term_per_air):
+        _ensure_ef(v, "per-air logup term must be an EF value")
     _ensure(len(bp.column_openings) == num_traces, "column openings count")
     for t_idx, a in enumerate(trace_id_to_air_id):
         avk = mvk.per_air[a]
@@ -155,6 +175,8 @@ def verify_proof_shape(mvk: MultiStarkVerifyingKey, proof: Proof) -> List[Stacke
         )
         for part, w in zip(parts, widths):
             _ensure(len(part) == w * mult, "column opening width mismatch")
+            for op in part:
+                _ensure_ef(op, "column opening must be an EF value")
 
     sp = proof.stacking_proof
     _ensure(
@@ -167,9 +189,15 @@ def verify_proof_shape(mvk: MultiStarkVerifyingKey, proof: Proof) -> List[Stacke
     )
     for ev in sp.sumcheck_round_polys:
         _ensure(len(ev) == 2, "stacking round poly eval count")
+        for v in ev:
+            _ensure_ef(v, "stacking round poly eval must be an EF value")
+    for c in sp.univariate_round_coeffs:
+        _ensure_ef(c, "stacking univariate coeff must be an EF value")
     _ensure(len(sp.stacking_openings) == len(layouts), "stacking openings count")
     for opens, layout in zip(sp.stacking_openings, layouts):
         _ensure(len(opens) == layout.width, "stacking opening width mismatch")
+        for op in opens:
+            _ensure_ef(op, "stacking opening must be an EF value")
 
     wp = proof.whir_proof
     num_rounds = params.num_whir_rounds()
@@ -177,8 +205,16 @@ def verify_proof_shape(mvk: MultiStarkVerifyingKey, proof: Proof) -> List[Stacke
     _ensure(
         len(wp.whir_sumcheck_polys) == num_rounds * k, "whir sumcheck count"
     )
+    for poly in wp.whir_sumcheck_polys:
+        _ensure(len(poly) == 2, "whir sumcheck poly eval count")
+        for ev in poly:
+            _ensure_ef(ev, "whir sumcheck eval must be an EF value")
     _ensure(len(wp.codeword_commits) == num_rounds - 1, "codeword commit count")
+    for d in wp.codeword_commits:
+        _ensure_digest(d, "codeword commit must be a digest")
     _ensure(len(wp.ood_values) == num_rounds - 1, "ood value count")
+    for v in wp.ood_values:
+        _ensure_ef(v, "ood value must be an EF value")
     _ensure(
         len(wp.folding_pow_witnesses) == num_rounds * k, "folding pow count"
     )
@@ -204,6 +240,8 @@ def verify_proof_shape(mvk: MultiStarkVerifyingKey, proof: Proof) -> List[Stacke
             _ensure(rows.shape == (1 << k, layout.width), "opened row shape")
         for pf in proofs_per_q:
             _ensure(len(pf) == depth0, "initial merkle proof depth")
+            for sib in pf:
+                _ensure_digest(sib, "initial merkle sibling must be a digest")
     _ensure(
         len(wp.codeword_opened_values) == num_rounds - 1,
         "codeword opened value rounds",
@@ -223,8 +261,17 @@ def verify_proof_shape(mvk: MultiStarkVerifyingKey, proof: Proof) -> List[Stacke
             _ensure(vals.shape == (1 << k, 4), "codeword opened value shape")
         for pf in proofs:
             _ensure(len(pf) == depth, "codeword merkle proof depth")
+            for sib in pf:
+                _ensure_digest(sib, "codeword merkle sibling must be a digest")
     _ensure(
         len(wp.final_poly) == 1 << params.log_final_poly_len(),
         "final poly length",
     )
+    for c in wp.final_poly:
+        _ensure_ef(c, "final poly coeff must be an EF value")
+    _ensure_digest(proof.common_main_commit, "common main commit must be a digest")
+    for air_id, vdata in enumerate(proof.trace_vdata):
+        if vdata is not None:
+            for d in vdata.cached_commitments:
+                _ensure_digest(d, f"AIR {air_id} cached commitment must be a digest")
     return layouts

@@ -235,3 +235,40 @@ class TestNegative:
         d[0] = (int(d[0]) + 1) % P
         with pytest.raises(ANY_FAILURE):
             engine.verify(vk, proof)
+
+    # -- element-shape tampers: proof_shape must reject BEFORE any indexing
+    # (reference verify_proof_shape validates every sub-structure up front,
+    # verifier/proof_shape.rs:308)
+
+    def test_short_merkle_sibling_rejected(self, fib_setup):
+        engine, vk, proof = self._copy(fib_setup)
+        pf = proof.whir_proof.initial_round_merkle_proofs[0][0]
+        pf[0] = pf[0][:7]  # digest truncated to 7 felts
+        with pytest.raises(ProofShapeError):
+            engine.verify(vk, proof)
+
+    def test_short_ef_opening_rejected(self, fib_setup):
+        engine, vk, proof = self._copy(fib_setup)
+        part = proof.batch_constraint_proof.column_openings[0][0]
+        part[0] = part[0][:3]  # EF value truncated to 3 limbs
+        with pytest.raises(ProofShapeError):
+            engine.verify(vk, proof)
+
+    def test_whir_sumcheck_eval_count_rejected(self, fib_setup):
+        engine, vk, proof = self._copy(fib_setup)
+        poly = proof.whir_proof.whir_sumcheck_polys[0]
+        proof.whir_proof.whir_sumcheck_polys[0] = poly + [poly[0]]
+        with pytest.raises(ProofShapeError):
+            engine.verify(vk, proof)
+
+    def test_final_poly_coeff_shape_rejected(self, fib_setup):
+        engine, vk, proof = self._copy(fib_setup)
+        proof.whir_proof.final_poly[0] = np.zeros(8, dtype=np.uint64)
+        with pytest.raises(ProofShapeError):
+            engine.verify(vk, proof)
+
+    def test_commit_shape_rejected(self, fib_setup):
+        engine, vk, proof = self._copy(fib_setup)
+        proof.common_main_commit = proof.common_main_commit[:4]
+        with pytest.raises(ProofShapeError):
+            engine.verify(vk, proof)
