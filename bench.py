@@ -112,7 +112,9 @@ def e2e_bench():
     print(
         "bench: roofline "
         + json.dumps(
-            roofline_report(params, LOG_ROWS, WIDTH, 8, span_ms)
+            roofline_report(
+                params, LOG_ROWS, WIDTH, shape.num_interactions, span_ms
+            )
         ),
         file=sys.stderr,
     )
@@ -290,25 +292,34 @@ def main():
     def left():
         return total_budget - (time.perf_counter() - t_start)
 
-    # Attempt the SAME shape twice: stage programs that finished compiling
-    # in a killed attempt persist in the compilation cache, so the retry
-    # resumes from the next segment instead of starting over.
-    attempts = [
-        ("e2e", {"SWIRL_BENCH_LOG_ROWS": LOG_ROWS},
-         float(os.environ.get("SWIRL_BENCH_E2E_BUDGET_S", "300"))),
-        ("e2e", {"SWIRL_BENCH_LOG_ROWS": LOG_ROWS}, 150.0),
-        ("commit", {"SWIRL_BENCH_LOG_ROWS": LOG_ROWS}, 10_000.0),
-    ]
-    for stage_name, env_over, budget in attempts:
-        # always leave enough room for the known-good commit fallback
-        reserve = 120.0 if stage_name != "commit" else 0.0
-        budget = min(budget, left() - reserve)
-        if budget <= 10.0:
-            continue
-        line = _run_stage(stage_name, budget, env_over)
+    # BANK FIRST, UPGRADE SECOND (round-2 postmortem: the ladder burned its
+    # whole budget on the speculative e2e path and lost the round's only
+    # number). The commit kernel is the known-good metric: run it first and
+    # hold its line. Then spend EVERYTHING left on e2e attempts at the same
+    # shape — stage programs that finished compiling in a killed attempt
+    # persist in the compilation cache, so each retry resumes from the next
+    # segment instead of starting over. If any e2e attempt lands, its line
+    # replaces the banked one; otherwise the banked commit line still ships.
+    banked = None
+    commit_budget = min(
+        float(os.environ.get("SWIRL_BENCH_COMMIT_BUDGET_S", "240")), left()
+    )
+    if commit_budget > 10.0:
+        banked = _run_stage(
+            "commit", commit_budget, {"SWIRL_BENCH_LOG_ROWS": LOG_ROWS}
+        )
+
+    while left() > 60.0:
+        line = _run_stage(
+            "e2e", left() - 10.0, {"SWIRL_BENCH_LOG_ROWS": LOG_ROWS}
+        )
         if line is not None:
             print(line)
             return 0
+
+    if banked is not None:
+        print(banked)
+        return 0
     print(
         json.dumps(
             {

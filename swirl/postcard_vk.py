@@ -53,10 +53,21 @@ Struct tree (field orders from the reference sources):
   Challenge=3 (``symbolic/symbolic_variable.rs:15-67``)
 - ``LinearConstraint`` = { coefficients: Vec<u32>, threshold: u32 }
 
-Caveat: the MontyField31 monty-form serde is asserted from the pinned
-Plonky3 v0.4.3 sources, which are not vendored here; it is the one byte
-of this layout that cannot be cross-checked against in-repo reference
-data. Everything else follows reference sources cited above.
+MontyField31 serde: the pinned Plonky3 v0.4.3 impl is, verbatim::
+
+    impl<MP: MontyParameters> Serialize for MontyField31<MP> {
+        fn serialize<S: Serializer>(&self, serializer: S) -> ... {
+            // It's faster to serialize in monty form
+            serializer.serialize_u32(self.value)
+        }
+    }
+
+i.e. the raw Montgomery-form u32 (postcard then varint-encodes it). The
+Plonky3 sources are not on this disk and the environment has no egress,
+so this is pinned from the documented impl rather than a vendored file;
+``tests/test_vk_introspection.py`` freezes a golden byte string of a full
+pre-vk serialization so any drift in this layout fails loudly. Everything
+else follows reference sources cited above.
 """
 
 from __future__ import annotations

@@ -19,8 +19,8 @@ via ``SWIRL_CHIP_HBM_GBPS`` / ``SWIRL_CHIP_VPU_GOPS``:
 
 All counts are *lower bounds*: they assume perfect fusion (each stage
 reads its inputs from HBM exactly once and writes its outputs once) and
-ignore padding, so measured/bound <= 1 and "fraction of roofline" is
-conservative.
+ignore padding, so bound/measured <= 1 and the emitted ``roofline_frac``
+(= bound/measured) is a conservative "fraction of roofline".
 """
 
 from __future__ import annotations
@@ -150,11 +150,7 @@ def report(params, log_rows: int, width: int, num_interactions: int,
     bounds = prove_bounds(params, log_rows, width, num_interactions)
     out = {}
     for name, b in bounds.items():
-        measured = None
-        for k, v in spans_ms.items():
-            if k.startswith(name):
-                measured = v
-                break
+        measured = spans_ms.get(name)
         entry = {
             "hbm_mb": round(b.hbm_bytes / 1e6, 1),
             "vpu_gops": round(b.vpu_ops / 1e9, 2),

@@ -24,12 +24,23 @@ def _ensure(cond: bool, msg: str):
         raise ProofShapeError(msg)
 
 
+def _ensure_canonical(v, msg: str):
+    import numpy as np
+
+    from ..fields.babybear import P
+
+    _ensure(getattr(v, "dtype", None) == np.uint64, msg + " (dtype)")
+    _ensure(bool((np.asarray(v) < P).all()), msg + " (non-canonical limb)")
+
+
 def _ensure_ef(v, msg: str):
     _ensure(getattr(v, "shape", None) == (4,), msg)
+    _ensure_canonical(v, msg)
 
 
 def _ensure_digest(v, msg: str):
     _ensure(getattr(v, "shape", None) == (8,), msg)
+    _ensure_canonical(v, msg)
 
 
 def verify_proof_shape(mvk: MultiStarkVerifyingKey, proof: Proof) -> List[StackedLayout]:

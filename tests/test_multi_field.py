@@ -31,6 +31,31 @@ class TestBn254Poseidon2:
             s[lane] = 1
             assert bn.permute(s, 3) != base
 
+    def test_grain_reproduces_frozen_rc3(self):
+        """The live Grain-LFSR generator must reproduce the frozen vendored
+        width-3 table (swirl/hash/bn254_rc3.py) bit-exactly — pins the
+        BN254-field Grain sampling path (peer of the reference's
+        zkhash-vs-p3 runtime check, width3.rs:95-110)."""
+        from swirl.hash.bn254_rc3 import (
+            RC3_EXTERNAL_FINAL,
+            RC3_EXTERNAL_INITIAL,
+            RC3_INTERNAL,
+        )
+        from swirl.hash.grain import poseidon2_round_constants
+
+        ext_i, internal, ext_f = poseidon2_round_constants(
+            bn.P_BN254, bn.N_BITS, 3, 8, 56
+        )
+        assert tuple(tuple(r) for r in ext_i) == RC3_EXTERNAL_INITIAL
+        assert tuple(internal) == RC3_INTERNAL
+        assert tuple(tuple(r) for r in ext_f) == RC3_EXTERNAL_FINAL
+        # Published HorizenLabs poseidon2_instance_bn256.rs RC3[0][0]
+        # (cross-check anchor; full table could not be fetched — no egress).
+        assert RC3_EXTERNAL_INITIAL[0][0] == int(
+            "1d066a255517b7fd8bddd3a93f7804ef7f8fcde48bb4c37a59a09a1a97052816",
+            16,
+        )
+
     def test_constants_distinct_per_width(self):
         a = bn.constants(2)
         b = bn.constants(3)

@@ -52,3 +52,41 @@ def test_trace_height_constraints_implied_removal():
     assert len(cs) == 1
     assert cs[0].coefficients == [1, 1, 1]
     assert cs[0].threshold == eng.params.logup.max_interaction_count
+
+
+def test_pre_vk_postcard_golden_bytes():
+    """Freeze the postcard pre-vk serialization (vk pre-hash input).
+
+    The MontyField31 monty-form-u32 varint layout (postcard_vk.py header)
+    cannot be cross-checked against in-repo reference data (no Plonky3
+    sources on disk, no egress), so this golden vector pins the whole
+    layout against silent drift: any change to the postcard emulation, the
+    symbolic DAG serialization, or the felt encoding fails here first.
+    Reference flow: keygen/mod.rs:193-216."""
+    import hashlib
+
+    from swirl.postcard_vk import versioned_pre_vk_bytes
+
+    n = 8
+    sels = [i % 2 == 0 for i in range(n)]
+    airs = [
+        FibonacciSelectorAir(sels, interaction=True),
+        DummyInteractionAir(1, True, 0, count_weight=3),
+    ]
+    eng = StarkEngine(default_test_params_small())
+    _, vk = eng.keygen(airs)
+    data = versioned_pre_vk_bytes(
+        eng.params, vk.per_air, vk.trace_height_constraints
+    )
+    assert len(data) == 264
+    # version framing: CODEC_VERSION=3 u32 LE ++ payload len u64 LE
+    assert data[:4] == (3).to_bytes(4, "little")
+    assert data[4:12] == (252).to_bytes(8, "little")
+    assert data[:64].hex() == (
+        "03000000fc00000000000000020880200103030a04020301020103018080808004"
+        "070203020199ffb99707aadc8c8a039ce6b39f06ebf6aac106a5ebd59603ab"
+    )
+    assert (
+        hashlib.sha256(data).hexdigest()
+        == "db0fbb62662f13b938c2d0f08eae648bf5712421bc63429816d743c5b2b5e255"
+    )
