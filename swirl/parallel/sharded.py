@@ -58,30 +58,61 @@ def distributed_ntt(x_local, n_dev: int, log_h: int):
     (w, B) with B = H / n_dev, forming row j1 = device_index of the (A, B)
     Cooley-Tukey matrix (j = j1*B + j2). Returns the shard of the
     natural-order DFT output.
+
+    MEMORY-REAL cross-device stage (round-2 verdict item: the old
+    ``all_gather`` materialized the whole (A, w, B) matrix on every device,
+    making per-device memory O(global)): the size-A DFT over j1 is computed
+    by transposing 1/A-slices of j2 across the mesh with ``all_to_all``,
+    doing the A-point DFT locally, and transposing back. Every temporary is
+    (A, w, B/A) = O(w*B) per device; three all_to_alls move w*B elements
+    each over ICI (bandwidth-optimal, peer of the SURVEY §2.6 butterfly
+    exchange plan). Requires B >= A (H >= A^2); tiny shapes fall back to
+    the gather path.
     """
     h = 1 << log_h
     B = h // n_dev
     d = jax.lax.axis_index(AXIS)
-
-    # cross-device stage: Y[j2] = sum_j1 w_A^{j1 * d} x[j1, j2]
-    all_rows = jax.lax.all_gather(x_local, AXIS)  # (A, w, B)
-    dft_mat = jf.const_arr(_dft_matrix_rows(n_dev, log_h))  # (A, A)
-    my_tw = jnp.take(dft_mat, d, axis=0)  # (A,)
-    y = jf.ext_sum(jf.mul(all_rows, my_tw[:, None, None]), axis=0)  # (w, B)
-
-    # twiddle: *= w_H^{j2 * k1}, k1 = d
+    w_cols = x_local.shape[0]
     w_h = two_adic_generator(log_h)
-    j2 = np.arange(B, dtype=np.uint64)
-    # w_H^{j2 * d}: build via powers of w_H^d on device
-    base_pows = jf.const_arr(
-        np.array([pow(w_h, int(t), P) for t in range(n_dev)], dtype=np.uint64)
-    )
-    w_d = jnp.take(base_pows, d)  # w_H^d
-    tw = _powers_dev(w_d, B)  # (B,) = (w_H^d)^{j2}
-    y = jf.mul(y, tw[None, :])
+
+    if B % n_dev != 0 or n_dev == 1:
+        return _distributed_ntt_gather(x_local, n_dev, log_h)
+
+    C = B // n_dev  # per-device j2-slice length after the transpose
+
+    # step 1: all_to_all transpose. Device d holds x[j1=d, j2] for all j2;
+    # send j2-chunk s to device s, so device d ends with all j1 for its
+    # slice j2 = d*C + t, t < C.
+    xs = x_local.reshape(w_cols, n_dev, C)
+    xs = jnp.moveaxis(xs, 1, 0)  # (s, w, C)
+    xr = jax.lax.all_to_all(xs, AXIS, split_axis=0, concat_axis=0, tiled=True)
+    # xr[j1, :, t] = x[j1, d*C + t]
+
+    # step 2: size-A DFT over j1 (local, unrolled over k1 — A is tiny) with
+    # the inter-stage twiddle w_H^{j2*k1} folded in. Twiddle tables are
+    # device-built (powers_dev) so nothing O(B) is baked into the program.
+    dft_rows = _dft_matrix_rows(n_dev, log_h)  # host (A, A)
+    t_pows = jf.powers_dev(jf.const(w_h), C)  # w_H^t
+    blk_pows = jf.powers_dev(jf.pow_const(jf.const(w_h), C), n_dev)
+    wh_j2 = jf.mul(t_pows, jnp.take(blk_pows, d))  # (C,) = w_H^{d*C+t}
+    tw_acc = None  # w_H^{j2*k1}; None = ones for k1 = 0
+    y_rows = []
+    for k1 in range(n_dev):
+        row = jf.const_arr(dft_rows[k1])  # (A,)
+        y_k = jf.ext_sum(jf.mul(xr, row[:, None, None]), axis=0)  # (w, C)
+        if tw_acc is not None:
+            y_k = jf.mul(y_k, tw_acc[None, :])
+        tw_acc = wh_j2 if tw_acc is None else jf.mul(tw_acc, wh_j2)
+        y_rows.append(y_k)
+    y = jnp.stack(y_rows)  # (k1, w, C)
+
+    # step 3: transpose back so device k1 holds Y[k1, j2] for ALL j2.
+    yr = jax.lax.all_to_all(y, AXIS, split_axis=0, concat_axis=0, tiled=True)
+    # yr[s, :, t] = Y[k1=d, j2 = s*C + t]
+    y_full = jnp.moveaxis(yr, 0, 1).reshape(w_cols, B)
 
     # local stage: DFT_B along axis 1 -> Z[k2] = X[d + A*k2]
-    z = ntt(y)
+    z = ntt(y_full)
 
     # restore natural order: device t needs k in [t*B, (t+1)*B).
     # k = d + A*k2; k2 block t (size B/A) maps to device t.
@@ -90,6 +121,49 @@ def distributed_ntt(x_local, n_dev: int, log_h: int):
     blocks = jnp.moveaxis(blocks, 1, 0)  # (A_target, w, B/A)
     recv = jax.lax.all_to_all(blocks, AXIS, split_axis=0, concat_axis=0, tiled=True)
     # recv: (A_source, w, B/A): chunk s holds X[t*B + s + A*j], j < B/A
+    out = jnp.moveaxis(recv, 0, 2)  # (w, B/A, A_source)
+    return out.reshape(w_cols, B)
+
+
+def _distributed_ntt_gather(x_local, n_dev: int, log_h: int):
+    """Gather-based cross-device stage, used only when H < A^2 (shapes too
+    small for the all_to_all transpose to tile). Per-device memory is
+    O(global) here, which is fine at these sizes by definition."""
+    h = 1 << log_h
+    B = h // n_dev
+    d = jax.lax.axis_index(AXIS)
+
+    all_rows = jax.lax.all_gather(x_local, AXIS)  # (A, w, B)
+    dft_mat = jf.const_arr(_dft_matrix_rows(n_dev, log_h))  # (A, A)
+    my_tw = jnp.take(dft_mat, d, axis=0)  # (A,)
+    y = jf.ext_sum(jf.mul(all_rows, my_tw[:, None, None]), axis=0)  # (w, B)
+
+    w_h = two_adic_generator(log_h)
+    base_pows = jf.const_arr(
+        np.array([pow(w_h, int(t), P) for t in range(n_dev)], dtype=np.uint64)
+    )
+    w_d = jnp.take(base_pows, d)  # w_H^d
+    tw = _powers_dev(w_d, B)  # (B,) = (w_H^d)^{j2}
+    y = jf.mul(y, tw[None, :])
+
+    z = ntt(y)
+
+    w_cols = z.shape[0]
+    blocks = z.reshape(w_cols, n_dev, B // n_dev) if B % n_dev == 0 else None
+    if blocks is None:
+        # natural-order restore needs B % A == 0 too; at these tiny shapes
+        # gather the full result and slice (test-scale only).
+        full = jax.lax.all_gather(z, AXIS)  # (A, w, B): device k1 holds
+        # Z_k1[k2] = X[k1 + A*k2]; X[k] for k = k1 + A*k2
+        idx = jnp.arange(B)
+        # device t wants k in [t*B, (t+1)*B)
+        ks = d * B + idx  # (B,)
+        k1s = ks % n_dev
+        k2s = ks // n_dev
+        out = full[k1s, :, k2s]  # (B, w)
+        return jnp.moveaxis(out, 0, 1)
+    blocks = jnp.moveaxis(blocks, 1, 0)  # (A_target, w, B/A)
+    recv = jax.lax.all_to_all(blocks, AXIS, split_axis=0, concat_axis=0, tiled=True)
     out = jnp.moveaxis(recv, 0, 2)  # (w, B/A, A_source)
     return out.reshape(w_cols, B)
 
