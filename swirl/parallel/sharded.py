@@ -24,7 +24,20 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8: keyword-only API, check_rep renamed to check_vma
+    from jax import shard_map as _shard_map_new
+
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=True):
+        return _shard_map_new(
+            f,
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            check_vma=check_rep,
+        )
+
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..fields import jfield as jf
 from ..fields.babybear import P, two_adic_generator

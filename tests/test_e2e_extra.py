@@ -103,9 +103,12 @@ class TestStackingAndParams:
         eng = StarkEngine(small_params(5, 2, 2))
         fib_case(eng, n=64)
 
+    @pytest.mark.slow
     def test_l_skip_6_lifted_roundtrip(self):
         """l_skip 6 with a height-16 trace: the trace is LIFTED into the
-        64-point chunk (cyclic tiling) before the univariate round."""
+        64-point chunk (cyclic tiling) before the univariate round.
+        Slow tier (~50 s compile); l_skip=5 covers the >32-point sweep in
+        the default tier."""
         eng = StarkEngine(small_params(6, 2, 2))
         fib_case(eng, n=16)
 

@@ -101,11 +101,20 @@ def test_fused_program_size_stays_bounded():
     assert lines < 60_000, f"seg2 HLO blew up: {lines} lines"
 
 
-@pytest.mark.slow
-@pytest.mark.parametrize("mode", ["jit", "segmented"])
-def test_fused_compiled_mode_byte_identical(fib_setup, mode):
+def test_fused_segmented_byte_identical(fib_setup):
+    """Segmented is the bench's compiled mode — it gates by DEFAULT so the
+    path the TPU number is measured on cannot regress unnoticed (round-2
+    verdict weak item 4). ~1 min cold compile on the 1-core CI box."""
     eng, vk, dpk, ctx, host_bytes = _host_bytes(fib_setup)
-    proof = prove_fused(eng.backend, dpk, ctx, mode=mode)
+    proof = prove_fused(eng.backend, dpk, ctx, mode="segmented")
+    assert encode_proof(proof) == host_bytes
+    eng.verify(vk, proof)
+
+
+@pytest.mark.slow
+def test_fused_jit_byte_identical(fib_setup):
+    eng, vk, dpk, ctx, host_bytes = _host_bytes(fib_setup)
+    proof = prove_fused(eng.backend, dpk, ctx, mode="jit")
     assert encode_proof(proof) == host_bytes
     eng.verify(vk, proof)
 

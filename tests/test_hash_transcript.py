@@ -223,7 +223,9 @@ class TestMerkleCompressionSemantics:
 
         rng = np.random.default_rng(9)
         prev = os.environ.get("SWIRL_PALLAS")
-        for mode, sizes in (("interpret", (1024, 2048)), (None, (64, 256))):
+        # 1024 crosses the layers->=1024 regression threshold; 2048 adds
+        # only interpret-mode runtime (was 76 s of the default tier)
+        for mode, sizes in (("interpret", (1024,)), (None, (64, 256))):
             if mode:
                 os.environ["SWIRL_PALLAS"] = mode
             elif "SWIRL_PALLAS" in os.environ:

@@ -40,3 +40,70 @@ def test_proof_mesh_accepted_by_fused_signature():
     mesh = multihost.proof_mesh()
     key = _mesh_key(mesh)
     assert key[0] == ("rows",)
+
+
+@pytest.mark.slow
+def test_two_process_distributed_commit_step():
+    """REAL jax.distributed runtime: two subprocesses (4 virtual CPU devices
+    each) form one 8-device mesh through a local coordinator and run a
+    sharded commit step; both processes must report the same Merkle root,
+    equal to the single-process 8-device run (round-2 verdict item 7)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    # pick a free port for the coordinator
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "_distributed_worker.py")
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["JAX_PLATFORMS"] = "cpu"
+    repo_root = os.path.dirname(os.path.dirname(worker))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(port), str(i)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err.decode(errors="replace")[-2000:]
+        line = [
+            l for l in out.decode().splitlines() if l.startswith("ROOT ")
+        ]
+        assert line, out.decode()[-2000:]
+        outs.append(line[0])
+    assert outs[0] == outs[1], (outs[0], outs[1])
+
+    # single-process expectation over this process's own 8-device mesh
+    from swirl.fields import jfield as jf
+    from swirl.fields.babybear import P
+    from swirl.parallel.sharded import make_mesh, sharded_commit_step
+
+    mesh = make_mesh(jax.devices()[:8])
+    rng = np.random.default_rng(7)
+    host = jf.const_arr(rng.integers(0, P, (4, 1 << 10), dtype=np.uint64))
+    root, revals = sharded_commit_step(mesh, 2, 1, 2)(host)
+    expect = (
+        "ROOT "
+        + ",".join(str(int(x)) for x in np.asarray(root).reshape(-1))
+        + " EVALS "
+        + ",".join(str(int(x)) for x in np.asarray(revals).reshape(-1))
+    )
+    assert outs[0] == expect
