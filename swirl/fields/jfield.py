@@ -322,6 +322,24 @@ def powers_dev(base, n: int):
     return arr[:n]
 
 
+def pow_bits_dev(base_int: int, exp, nbits: int):
+    """base^exp (Monty form) for a traced uint32 exponent < 2^nbits.
+
+    Square-and-multiply over the exponent bits with the host-side squares
+    base^(2^b) folded in as scalar constants: O(nbits) traced equations,
+    elementwise in exp's shape. Replaces gather-from-a-2^nbits-roots-table
+    (which baked an O(2^nbits) literal into the program)."""
+    exp = jnp.asarray(exp, jnp.uint32)
+    acc = jnp.full(exp.shape, const(1), jnp.uint32)
+    b_pow = int(base_int) % P_INT
+    for b in range(nbits):
+        s = const(b_pow)
+        bit = ((exp >> b) & jnp.uint32(1)) != 0
+        acc = jnp.where(bit, mul(acc, s), acc)
+        b_pow = b_pow * b_pow % P_INT
+    return acc
+
+
 def ext_powers_dev(base, n: int):
     """[base^0, ..., base^{n-1}] for an EF4 Monty scalar, device (n, 4)."""
     one = jnp.zeros((1, 4), jnp.uint32).at[0, 0].set(const(1))

@@ -515,16 +515,29 @@ def _prove_segmented(backend, mpk, ctx, trace_vdata, public_values) -> Proof:
         cache[key] = _segmented_fn(backend, mpk, ctx)
     (s1, s2, s3, s4), meta = cache[key]
 
-    common = [tc.common_main for _, tc in ctx.per_trace]
-    state, commit_flat, matrix, rs_matrix, layers = s1(common)
-    state, rap_flat, r_stack = s2(state, common)
-    state, stacking_flat, u_stack = s3(state, r_stack, matrix, rs_matrix, layers)
-    whir_flat = s4(state, u_stack, matrix, rs_matrix, layers)
+    from .. import metrics
+    from jax import block_until_ready as _block
 
-    commit = _unpack(meta, "commit", commit_flat)
-    rap = _unpack(meta, "rap", rap_flat)
-    stacking = _unpack(meta, "stacking", stacking_flat)
-    whir = _unpack(meta, "whir", whir_flat)
+    common = [tc.common_main for _, tc in ctx.per_trace]
+    # span names match the Coordinator's (and the roofline bound keys) so
+    # bench.py's roofline join attributes the segmented warm time per stage;
+    # block_until_ready pins async dispatch inside the right span.
+    with metrics.span("prover.main_trace_commit"):
+        state, commit_flat, matrix, rs_matrix, layers = _block(s1(common))
+    with metrics.span("prove_rap_constraints"):
+        state, rap_flat, r_stack = _block(s2(state, common))
+    with metrics.span("prove_stacked_reduction"):
+        state, stacking_flat, u_stack = _block(
+            s3(state, r_stack, matrix, rs_matrix, layers)
+        )
+    with metrics.span("prove_whir"):
+        whir_flat = _block(s4(state, u_stack, matrix, rs_matrix, layers))
+
+    with metrics.span("proof_fetch"):
+        commit = _unpack(meta, "commit", commit_flat)
+        rap = _unpack(meta, "rap", rap_flat)
+        stacking = _unpack(meta, "stacking", stacking_flat)
+        whir = _unpack(meta, "whir", whir_flat)
     plain = {
         "common_main_commit": commit["common_main_commit"],
         "gkr_proof": rap["gkr"],

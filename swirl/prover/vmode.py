@@ -120,17 +120,21 @@ class TraceVM:
 
     @staticmethod
     def pow_omega(log_size: int, index):
-        from ..fields.babybear import roots_of_unity
+        # square-and-multiply over the index bits — no 2^log_size literal
+        # roots table in the program (those tables dominated executable
+        # size at production heights)
+        from ..fields.babybear import two_adic_generator
 
-        table = jnp.asarray(jf.const_arr(roots_of_unity(log_size)))
-        return table[index]
+        return jf.pow_bits_dev(
+            two_adic_generator(log_size), jnp.asarray(index), log_size
+        )
 
     @staticmethod
     def pow_omega_batch(log_size: int, indices):
-        from ..fields.babybear import roots_of_unity
+        from ..fields.babybear import two_adic_generator
 
-        table = jnp.asarray(jf.const_arr(roots_of_unity(log_size)))
-        return table[jnp.stack([jnp.asarray(i) for i in indices])]
+        idx = jnp.stack([jnp.asarray(i) for i in indices])
+        return jf.pow_bits_dev(two_adic_generator(log_size), idx, log_size)
 
 
 _mode = contextvars.ContextVar("swirl_vmode", default=HostVM)

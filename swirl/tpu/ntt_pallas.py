@@ -93,24 +93,34 @@ def _stage_twiddles(log_n: int, inverse: bool) -> tuple:
     return tuple(cols)
 
 
-@lru_cache(maxsize=None)
-def _four_step_twiddles(log_n: int, inverse: bool, scale_inv_n: bool) -> np.ndarray:
-    """(n1, n2) Monty matrix T[k1, j2] = w_N^(k1*j2) (times 1/N if asked)."""
+def _four_step_twiddles(log_n: int, inverse: bool, scale_inv_n: bool):
+    """(n1, n2) Monty matrix T[k1, j2] = w_N^(k1*j2) (times 1/N if asked).
+
+    Computed ON DEVICE inside the trace: wk1 = w^k1 by log-depth doubling,
+    then T accumulates wk1^(2^b) into the columns whose j2 has bit b set
+    (ln2 elementwise passes). A host table here would bake an O(N) literal
+    into every executable — 32 MB at N = 2^23 — which bloated cached
+    executables to ~200 MB and made warm compile-cache loads take minutes.
+    The device computation is O(log N) traced equations and ~ln2 * n1 * n2
+    VPU multiplies, negligible against the transform itself.
+    """
     ln1, ln2 = _split(log_n)
     n1, n2 = 1 << ln1, 1 << ln2
     w = two_adic_generator(log_n)
     if inverse:
         w = pow(w, P - 2, P)
-    wk1 = np.empty(n1, dtype=np.uint64)
-    acc = 1
-    for i in range(n1):
-        wk1[i] = acc
-        acc = (acc * w) % P
-    t = np.empty((n1, n2), dtype=np.uint64)
-    t[:, 0] = pow(1 << log_n, P - 2, P) if scale_inv_n else 1
-    for j in range(1, n2):
-        t[:, j] = (t[:, j - 1] * wk1) % P
-    return jf.const_arr(t)
+    wk1 = jf.powers_dev(jf.const(w), n1)  # (n1,) Monty
+    scale = pow(1 << log_n, P - 2, P) if scale_inv_n else 1
+    t = jnp.full((n1, n2), jf.const(scale), jnp.uint32)
+    j2 = jax.lax.iota(jnp.uint32, n2)
+    base = wk1  # wk1^(2^b)
+    one = jnp.full((1, 1), jf.const(1), jnp.uint32)
+    for b in range(ln2):
+        bit = ((j2 >> b) & jnp.uint32(1)).astype(jnp.bool_)
+        factor = jnp.where(bit[None, :], base[:, None], one)
+        t = jf.mul(t, factor)
+        base = jf.mul(base, base)
+    return t
 
 
 def _sub_ntt(x, tw_refs, log_n: int):
@@ -157,14 +167,16 @@ def _ntt_fn(log_n: int, batch: int, inverse: bool, scale_inv_n: bool,
     n1, n2 = 1 << ln1, 1 << ln2
     tw1 = _stage_twiddles(ln1, inverse)
     tw2 = _stage_twiddles(ln2, inverse)
-    t_mat = _four_step_twiddles(log_n, inverse, scale_inv_n)
 
     const2 = lambda arr: pl.BlockSpec(
         arr.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM
     )
 
     def run(x):
-        # x: (batch, N) Monty uint32
+        # x: (batch, N) Monty uint32. The four-step twiddle matrix is traced
+        # per call (device-computed, see _four_step_twiddles) so it must be
+        # built inside run(), not captured in the lru_cached closure.
+        t_mat = _four_step_twiddles(log_n, inverse, scale_inv_n)
         xm = x.reshape(batch, n1, n2)
         a_t = pl.pallas_call(
             partial(_kernel1, ln1),
@@ -241,13 +253,13 @@ def _kernel1_only(log_n: int, batch: int, inverse: bool, scale_inv_n: bool,
     ln1, ln2 = _split(log_n)
     n1, n2 = 1 << ln1, 1 << ln2
     tw1 = _stage_twiddles(ln1, inverse)
-    t_mat = _four_step_twiddles(log_n, inverse, scale_inv_n)
 
     const2 = lambda arr: pl.BlockSpec(
         arr.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM
     )
 
     def run(x):
+        t_mat = _four_step_twiddles(log_n, inverse, scale_inv_n)
         xm = x.reshape(batch, n1, n2)
         return pl.pallas_call(
             partial(_kernel1, ln1),

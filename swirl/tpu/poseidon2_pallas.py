@@ -337,15 +337,6 @@ def _tower_kernel(levels: int, n_half: int, n_partial: int, in_ref,
 
 
 @lru_cache(maxsize=None)
-def _bitrev(log_n: int) -> np.ndarray:
-    idx = np.arange(1 << log_n)
-    rev = np.zeros(1 << log_n, dtype=np.int32)
-    for b in range(log_n):
-        rev |= ((idx >> b) & 1) << (log_n - 1 - b)
-    return rev
-
-
-@lru_cache(maxsize=None)
 def _tower_fn(n: int, interpret: bool):
     levels = n.bit_length() - 1
     ext_rc, int_rc, diag = _mont_round_constants()
@@ -353,7 +344,9 @@ def _tower_fn(n: int, interpret: bool):
     n_partial = int_rc.shape[0]
 
     def run(digests):
-        d_br = jnp.take(digests, jnp.asarray(_bitrev(levels)), axis=1)
+        # device-computed bit-reversal permutation (jf.bitrev_perm_dev):
+        # a host _bitrev table here is a 2^levels int32 literal per program
+        d_br = jnp.take(digests, jf.bitrev_perm_dev(levels), axis=1)
         outs = pl.pallas_call(
             partial(_tower_kernel, levels, n_half, n_partial),
             in_specs=[
@@ -374,7 +367,7 @@ def _tower_fn(n: int, interpret: bool):
         outs = [outs] if levels == 1 else list(outs)
         # back to natural order: layer lvl stores node bitrev(p) at p
         return [
-            jnp.take(layer, jnp.asarray(_bitrev(levels - 1 - lvl)), axis=1)
+            jnp.take(layer, jf.bitrev_perm_dev(levels - 1 - lvl), axis=1)
             for lvl, layer in enumerate(outs)
         ]
 
