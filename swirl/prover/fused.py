@@ -182,6 +182,121 @@ def enable_compile_cache(path: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
+_AOT_CACHE_VERSION = 1
+
+
+@lru_cache(maxsize=1)
+def _package_digest() -> str:
+    """Content hash of every swirl/**/*.py source file.
+
+    A persisted AOT executable must be the product of THIS code: keying the
+    bundle by source content means a stale executable from an older prover
+    (whose proof bytes could differ from the current host path) can never
+    load silently. Mirrors what the XLA persistent compile cache gets for
+    free by hashing the HLO."""
+    import hashlib
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.sha256()
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames.sort()
+        for fn in sorted(filenames):
+            if fn.endswith(".py"):
+                full = os.path.join(dirpath, fn)
+                h.update(os.path.relpath(full, root).encode())
+                with open(full, "rb") as f:
+                    h.update(f.read())
+    return h.hexdigest()
+
+
+def _aot_path(mpk, ctx) -> str | None:
+    """On-disk path for this (code, device, vk, context) segmented-stage
+    executable bundle; None when AOT persistence is unavailable/disabled.
+
+    The XLA persistent compile cache only skips the *compile*; every fresh
+    process still pays tracing + lowering + cache deserialization (minutes
+    at production heights). Persisting the four compiled stage executables
+    skips all three: a warm prove is load + run."""
+    import hashlib
+    import os
+
+    if os.environ.get("SWIRL_AOT_CACHE", "1") == "0":
+        return None
+    base = jax.config.jax_compilation_cache_dir
+    if base is None:
+        return None
+    try:
+        dev = jax.devices()[0]
+        ident = (
+            _AOT_CACHE_VERSION,
+            jax.__version__,
+            dev.platform,
+            getattr(dev, "device_kind", ""),
+            _package_digest(),
+            tuple(int(v) for v in np.asarray(mpk.vk_pre_hash).ravel()),
+            _ctx_cache_key("seg", ctx),
+        )
+    except Exception:
+        return None
+    digest = hashlib.sha256(repr(ident).encode()).hexdigest()[:32]
+    return os.path.join(base, "aot", f"seg-{digest}.pkl")
+
+
+def _load_aot_segments(path: str):
+    """((s1..s4) loaded executables, meta) from a bundle file, or None."""
+    import pickle
+    import sys
+
+    try:
+        with open(path, "rb") as f:
+            stage_payloads, meta = pickle.load(f)
+        from jax.experimental import serialize_executable as se
+
+        # the segmented stages are single-device programs; without an
+        # explicit device list, deserialize_and_load targets ALL
+        # addressable devices (8 on the virtual CPU test mesh) and
+        # execution fails on a shard-count mismatch
+        devs = jax.devices()[:1]
+        stages = tuple(
+            se.deserialize_and_load(
+                blob, in_tree, out_tree, execution_devices=devs
+            )
+            for blob, in_tree, out_tree in stage_payloads
+        )
+        return stages, meta
+    except FileNotFoundError:
+        return None
+    except Exception as e:  # corrupt or incompatible bundle: recompile
+        print(
+            f"swirl: AOT bundle load failed ({type(e).__name__}: {e}); "
+            "recompiling",
+            file=sys.stderr,
+        )
+        return None
+
+
+def _save_aot_segments(path: str, compiled_stages, meta) -> None:
+    import os
+    import pickle
+    import sys
+
+    try:
+        from jax.experimental import serialize_executable as se
+
+        payload = [se.serialize(c) for c in compiled_stages]
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            pickle.dump((payload, meta), f)
+        os.replace(tmp, path)
+    except Exception as e:
+        print(
+            f"swirl: AOT bundle save failed ({type(e).__name__}: {e})",
+            file=sys.stderr,
+        )
+
+
 def _ctx_cache_key(tag, ctx) -> tuple:
     """Cache key for the per-mpk fused/segmented program cache.
 
@@ -511,27 +626,85 @@ def _prove_segmented(backend, mpk, ctx, trace_vdata, public_values) -> Proof:
         cache = {}
         mpk._fused_cache = cache
     key = _ctx_cache_key("seg", ctx)
+    save_path = None
     if key not in cache:
-        cache[key] = _segmented_fn(backend, mpk, ctx)
+        path = _aot_path(mpk, ctx)
+        entry = _load_aot_segments(path) if path is not None else None
+        if entry is None:
+            entry = _segmented_fn(backend, mpk, ctx)
+            save_path = path  # fresh trace: persist the executables below
+        cache[key] = entry
     (s1, s2, s3, s4), meta = cache[key]
 
     from .. import metrics
     from jax import block_until_ready as _block
 
+    # On a fresh trace, compile each stage explicitly (lower().compile())
+    # so the executables can be serialized to the AOT bundle; subsequent
+    # in-process proves and AOT-loaded stages call straight through.
+    compiled_for_save = [] if save_path is not None else None
+
+    def call(stage, *args):
+        if compiled_for_save is None or not hasattr(stage, "lower"):
+            return stage(*args)
+        c = stage.lower(*args).compile()
+        compiled_for_save.append(c)
+        return c(*args)
+
     common = [tc.common_main for _, tc in ctx.per_trace]
-    # span names match the Coordinator's (and the roofline bound keys) so
-    # bench.py's roofline join attributes the segmented warm time per stage;
-    # block_until_ready pins async dispatch inside the right span.
-    with metrics.span("prover.main_trace_commit"):
-        state, commit_flat, matrix, rs_matrix, layers = _block(s1(common))
-    with metrics.span("prove_rap_constraints"):
-        state, rap_flat, r_stack = _block(s2(state, common))
-    with metrics.span("prove_stacked_reduction"):
-        state, stacking_flat, u_stack = _block(
-            s3(state, r_stack, matrix, rs_matrix, layers)
+
+    def run_stages(s1, s2, s3, s4):
+        # span names match the Coordinator's (and the roofline bound keys)
+        # so bench.py's roofline join attributes the segmented warm time per
+        # stage; block_until_ready pins async dispatch in the right span.
+        with metrics.span("prover.main_trace_commit"):
+            state, commit_flat, matrix, rs_matrix, layers = _block(
+                call(s1, common)
+            )
+        with metrics.span("prove_rap_constraints"):
+            state, rap_flat, r_stack = _block(call(s2, state, common))
+        with metrics.span("prove_stacked_reduction"):
+            state, stacking_flat, u_stack = _block(
+                call(s3, state, r_stack, matrix, rs_matrix, layers)
+            )
+        with metrics.span("prove_whir"):
+            whir_flat = _block(
+                call(s4, state, u_stack, matrix, rs_matrix, layers)
+            )
+        return commit_flat, rap_flat, stacking_flat, whir_flat
+
+    try:
+        commit_flat, rap_flat, stacking_flat, whir_flat = run_stages(
+            s1, s2, s3, s4
         )
-    with metrics.span("prove_whir"):
-        whir_flat = _block(s4(state, u_stack, matrix, rs_matrix, layers))
+    except Exception:
+        # AOT-loaded executables can fail AT CALL TIME on some platforms
+        # (XLA:CPU's thunk registry collides with live jitted kernels when
+        # a deserialized executable shares a process with other compiled
+        # functions). The stages are pure, so recover by re-tracing and
+        # re-running from s1. A traced-stage failure is a real error.
+        if hasattr(s1, "lower"):
+            raise
+        import sys
+
+        print(
+            "swirl: AOT-loaded stage failed at call time; re-tracing",
+            file=sys.stderr,
+        )
+        cache[key] = _segmented_fn(backend, mpk, ctx)
+        (s1, s2, s3, s4), meta = cache[key]
+        compiled_for_save = None
+        commit_flat, rap_flat, stacking_flat, whir_flat = run_stages(
+            s1, s2, s3, s4
+        )
+
+    if compiled_for_save is not None and len(compiled_for_save) == 4:
+        # meta is fully populated once every stage has traced
+        _save_aot_segments(save_path, compiled_for_save, meta)
+        # later in-process proves reuse the explicit executables (the
+        # jitted wrappers would otherwise re-trace: lower() does not
+        # populate jit's dispatch cache)
+        cache[key] = (tuple(compiled_for_save), meta)
 
     with metrics.span("proof_fetch"):
         commit = _unpack(meta, "commit", commit_flat)

@@ -112,6 +112,51 @@ def test_fused_segmented_byte_identical(fib_setup):
 
 
 @pytest.mark.slow
+def test_fused_segmented_aot_reload_byte_identical(fib_setup, tmp_path):
+    """A segmented prove persists its four compiled stage executables
+    (swirl/prover/fused.py:_save_aot_segments); a FRESH PROCESS must load
+    that bundle instead of re-tracing and produce byte-identical proof
+    bytes. This is the warm path the bench driver relies on: load + run,
+    no tracing/lowering/compiling. Save and load run in subprocesses over
+    a fresh cache dir (XLA:CPU can only serialize freshly-compiled
+    executables, see _aot_reload_worker.py); the load worker has
+    _segmented_fn poisoned so a silent re-trace fails the test."""
+    import glob
+    import hashlib
+    import os
+    import subprocess
+    import sys
+
+    eng, vk, dpk, ctx, host_bytes = _host_bytes(fib_setup)
+    want = "PROOF_SHA=" + hashlib.sha256(host_bytes).hexdigest()
+
+    worker = os.path.join(os.path.dirname(__file__), "_aot_reload_worker.py")
+    env = dict(os.environ)
+    env["SWIRL_JAX_CACHE"] = str(tmp_path / "cache")
+
+    def run(mode):
+        res = subprocess.run(
+            [sys.executable, worker, mode],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            timeout=900,
+        )
+        out = res.stdout.decode(errors="replace")
+        assert res.returncode == 0, (
+            mode,
+            out,
+            res.stderr.decode(errors="replace")[-2000:],
+        )
+        assert want in out, f"{mode}: proof bytes differ: {out}"
+
+    run("save")
+    bundles = glob.glob(str(tmp_path / "cache" / "*" / "aot" / "seg-*.pkl"))
+    assert bundles, "segmented prove did not persist an AOT bundle"
+    run("load")
+
+
+@pytest.mark.slow
 def test_fused_jit_byte_identical(fib_setup):
     eng, vk, dpk, ctx, host_bytes = _host_bytes(fib_setup)
     proof = prove_fused(eng.backend, dpk, ctx, mode="jit")
