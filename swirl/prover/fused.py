@@ -228,6 +228,12 @@ def _aot_path(mpk, ctx) -> str | None:
         return None
     try:
         dev = jax.devices()[0]
+        if dev.platform == "axon" and os.environ.get("SWIRL_AOT_CACHE") != "1":
+            # Tunneled dev chip: explicit Compiled executables dispatch ~30x
+            # slower than the jit wrappers over the relay, and serialize()
+            # round-trips the full raw executable (GBs) through the tunnel.
+            # The persistent XLA compile cache is the right warm path there.
+            return None
         ident = (
             _AOT_CACHE_VERSION,
             jax.__version__,
