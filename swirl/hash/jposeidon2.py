@@ -65,12 +65,24 @@ def _internal(s, diag):
     return jf.add(jf.mul(s, diag), total[..., None])
 
 
-def permute(state):
+# Static batch-element threshold below which `permute` unrolls its rounds.
+# A fori_loop round is one device `while` iteration; on (16,) transcript
+# states and small query-path batches the while launch overhead dwarfs the
+# ~20 VPU ops of actual work (TPU profile: ~0.1-0.3ms per while at batch
+# <= 128, x327 calls in the WHIR query phase alone). Large tower batches
+# keep the rolled form so Merkle jits stay ~20x smaller.
+_PERMUTE_UNROLL_MAX = 256
+
+
+def permute(state, unroll: bool | None = None):
     """Poseidon2 permutation on (..., 16) Monty-form uint32 arrays.
 
-    Rounds run under ``lax.fori_loop`` (rounds are sequentially dependent
-    anyway), keeping the traced graph ~20x smaller than full unrolling —
-    important because Merkle towers inline many permutations per jit.
+    Rounds run under ``lax.fori_loop`` for large batches (rounds are
+    sequentially dependent anyway), keeping the traced graph ~20x smaller
+    than full unrolling — important because Merkle towers inline many
+    permutations per jit. Small batches (static size <=
+    ``_PERMUTE_UNROLL_MAX``) unroll instead: three device whiles per
+    permutation is pure launch overhead there.
     """
     ext_init, internal, ext_final, diag = _mont_constants()
     ext_init_d = jnp.asarray(ext_init)
@@ -78,7 +90,24 @@ def permute(state):
     ext_final_d = jnp.asarray(ext_final)
     diag_d = jnp.asarray(diag)
 
+    if unroll is None:
+        n = 1
+        for d in jnp.shape(state)[:-1]:
+            n *= int(d)
+        unroll = n <= _PERMUTE_UNROLL_MAX
+
     s = _external(state)
+
+    if unroll:
+        for rc in ext_init:
+            s = _external(_sbox(jf.add(s, jnp.asarray(rc))))
+        for rc in internal:
+            s0 = _sbox(jf.add(s[..., 0], jnp.asarray(rc)))
+            s = jnp.concatenate([s0[..., None], s[..., 1:]], axis=-1)
+            s = _internal(s, diag_d)
+        for rc in ext_final:
+            s = _external(_sbox(jf.add(s, jnp.asarray(rc))))
+        return s
 
     def full_round(consts):
         def body(r, s):
