@@ -152,50 +152,41 @@ def coset_ntt(coeffs, shift: int, ext: bool = False):
     return ntt(scaled, ext=ext)
 
 
+def _bit_mask(n: int, b: int, ext: bool):
+    """(n,)-or-(n,1) bool mask of indices with bit b set, device-computed."""
+    idx = jax.lax.iota(jnp.uint32, n)
+    mask = ((idx >> np.uint32(b)) & jnp.uint32(1)).astype(bool)
+    return mask[:, None] if ext else mask
+
+
 def zeta_transform(x, log_k: int, ext: bool = False):
     """Subset-zeta (coeffs->evals of MLE over the low log_k index bits).
 
-    For each prefix bit position b: x[i | 2^b] += x[i]. Operates on the
-    trailing data axis; index bit b has stride 2^b.
+    For each prefix bit position b: x[i | 2^b] += x[i]. Implemented as a
+    cyclic roll + iota-mask + add so every intermediate keeps the big data
+    axis minor: the earlier pair-stack form reshaped to (..., n/span, 2,
+    step) with step as small as 1, and XLA:TPU materialized those
+    tiny-minor-dim stacks with (8,128) tiles at ~3% utilization — a 32x
+    padded 8 GB temp at the bench shape (compile-time HBM OOM). Wrapped
+    roll values land only at masked-off (bit-clear) positions.
     """
     axis = -2 if ext else -1
     n = x.shape[axis]
     for b in range(log_k):
-        step = 1 << b
-        span = step << 1
-        shape = list(x.shape)
-        lead = shape[:axis] if axis == -1 else shape[:-2]
-        if ext:
-            v = x.reshape(lead + [n // span, 2, step, 4])
-            lo = v[..., 0, :, :]
-            hi = jf.add(v[..., 1, :, :], lo)
-            x = jnp.stack([lo, hi], axis=-3).reshape(shape)
-        else:
-            v = x.reshape(lead + [n // span, 2, step])
-            lo = v[..., 0, :]
-            hi = jf.add(v[..., 1, :], lo)
-            x = jnp.stack([lo, hi], axis=-2).reshape(shape)
+        m = _bit_mask(n, b, ext)
+        shifted = jnp.roll(x, 1 << b, axis=axis)
+        x = jnp.where(m, jf.add(x, shifted), x)
     return x
 
 
 def mobius_transform(x, log_k: int, ext: bool = False):
     """Inverse of zeta_transform (evals->coeffs of MLE on low bits):
-    x[i | 2^b] -= x[i] for each bit position b in increasing order."""
+    x[i | 2^b] -= x[i] for each bit position b in increasing order.
+    Same roll+mask structure as :func:`zeta_transform` (see its note)."""
     axis = -2 if ext else -1
     n = x.shape[axis]
     for b in range(log_k):
-        step = 1 << b
-        span = step << 1
-        shape = list(x.shape)
-        lead = shape[:axis] if axis == -1 else shape[:-2]
-        if ext:
-            v = x.reshape(lead + [n // span, 2, step, 4])
-            lo = v[..., 0, :, :]
-            hi = jf.sub(v[..., 1, :, :], lo)
-            x = jnp.stack([lo, hi], axis=-3).reshape(shape)
-        else:
-            v = x.reshape(lead + [n // span, 2, step])
-            lo = v[..., 0, :]
-            hi = jf.sub(v[..., 1, :], lo)
-            x = jnp.stack([lo, hi], axis=-2).reshape(shape)
+        m = _bit_mask(n, b, ext)
+        shifted = jnp.roll(x, 1 << b, axis=axis)
+        x = jnp.where(m, jf.sub(x, shifted), x)
     return x
