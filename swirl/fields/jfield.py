@@ -265,26 +265,6 @@ def ext_mul(a, b):
 
 
 @jax.jit
-def ext_mul_cf(a, b):
-    """EF4 * EF4 in COMPONENT-FIRST form: components on axis -2, data axis
-    minor (e.g. (4, n) or (5, 4, n)). Broadcasts leading dims and a (4, 1)
-    scalar operand.
-
-    Component-first is the TPU-native bulk EF layout: with the big data
-    axis minormost, every slice/product/add tiles at full (8,128) lane
-    utilization, and jit ARGUMENT layouts cannot degenerate (XLA laid out a
-    trailing-component (5, m, 4) buffer with the 5-axis on lanes — 25.6x
-    padding, runtime HBM OOM at 2^20 rows)."""
-    a0, a1, a2, a3 = (a[..., i, :] for i in range(4))
-    b0, b1, b2, b3 = (b[..., i, :] for i in range(4))
-    c0 = add(mul(a0, b0), _mul_w(add(add(mul(a1, b3), mul(a2, b2)), mul(a3, b1))))
-    c1 = add(add(mul(a0, b1), mul(a1, b0)), _mul_w(add(mul(a2, b3), mul(a3, b2))))
-    c2 = add(add(mul(a0, b2), mul(a1, b1)), add(mul(a2, b0), _mul_w(mul(a3, b3))))
-    c3 = add(add(mul(a0, b3), mul(a1, b2)), add(mul(a2, b1), mul(a3, b0)))
-    return jnp.stack([c0, c1, c2, c3], axis=-2)
-
-
-@jax.jit
 def ext_scale(a, s):
     """EF * base-field scalar (both Monty)."""
     return mul(a, jnp.asarray(s)[..., None])

@@ -7,15 +7,15 @@ degree-3 batch sumcheck over
 ``crates/stark-backend/src/prover/logup_zerocheck/fractional_sumcheck_gkr.rs``
 and the CUDA strategy notes in ``docs/cuda-backend/gkr-prover.md``).
 
-Device layout: each tree layer keeps separate p and q arrays in
-COMPONENT-FIRST form (4, 2^t) — the EF component axis leads and the big data
-axis is minormost, so XLA:TPU tiles every bulk intermediate (and every jit
-argument) at full (8,128) lane utilization. The previous trailing-component
-(2^t, 4) layout let layout assignment put the tiny axes on the lanes:
-measured 63 ms per 16 MB reduce-fusion inside the layer scans (~0.3 GB/s)
-and a 25.6x-padded 16 GB `cols` argument buffer (runtime HBM OOM). The
-(2^t, 4) interface with the caller is preserved; the transpose happens once
-at entry.
+Device layout: every bulk buffer is a SEPARATE (2^t, 4) EF array — the big
+data axis is dim0 and the only other axis is the 4-component tail. XLA:TPU's
+layout assignment on this chip consistently puts dim0 minormost: (m, 4) gets
+{0,1} with m on the 128 lanes (full utilization), while ANY leading small
+axis — a stacked (5, m, 4) or component-first (5, 4, m) column batch — gets
+dim0=5 on the lanes: 25.6x tile padding (observed as a 16 GB remat copy of a
+640 MB buffer -> HBM OOM) and 63 ms per 16 MB reduce-fusion inside the layer
+scans. So the five layer MLEs [eq, p0, q0, p1, q1] are passed and carried as
+five separate arrays, never stacked along a leading column axis.
 """
 
 from __future__ import annotations
@@ -36,37 +36,44 @@ from .sumcheck import fold_mle_vec
 from .vmode import vm
 
 
-def _pair_split_cf(cols):
-    """(5, 4, m) -> even/odd element pairs as two (5, 4, m/2) views."""
-    pairs = cols.reshape(cols.shape[0], 4, -1, 2)
-    return pairs[..., 0], pairs[..., 1]
+def _pair_split(col):
+    """(m, 4) -> even/odd element pairs as two (m/2, 4) views."""
+    v = col.reshape(-1, 2, 4)
+    return v[:, 0], v[:, 1]
 
 
 @jax.jit
-def _gkr_round_evals(cols, lam_cf):
+def _gkr_round_evals(cols, lam_dev):
     """Degree-3 round-poly evaluations at X in {1,2,3}.
 
-    cols: (5, 4, m) component-first stacked [eq, p0, q0, p1, q1] MLEs;
-    lam_cf: (4, 1). Returns (3, 4) — identical values (modular sums are
-    order-independent) to the previous trailing-component form."""
-    t0, t1 = _pair_split_cf(cols)
-    d = jf.sub(t1, t0)
+    cols: tuple of five (m, 4) MLEs [eq, p0, q0, p1, q1]; lam_dev: (4,).
+    Returns (3, 4)."""
+    splits = [_pair_split(c) for c in cols]
     out = []
     for x in (1, 2, 3):
-        cx = t1 if x == 1 else jf.add(t0, jf.mul(d, jf.const(x)))
-        e, a0, b0, a1, b1 = cx[0], cx[1], cx[2], cx[3], cx[4]
-        p_prev = jf.add(jf.ext_mul_cf(a0, b1), jf.ext_mul_cf(a1, b0))
-        q_prev = jf.ext_mul_cf(b0, b1)
-        val = jf.ext_mul_cf(e, jf.add(p_prev, jf.ext_mul_cf(lam_cf, q_prev)))
-        out.append(jf.base_sum(val, axis=-1))
+        if x == 1:
+            e, a0, b0, a1, b1 = (t1 for _, t1 in splits)
+        else:
+            xs = jf.const(x)
+            e, a0, b0, a1, b1 = (
+                jf.ext_add(t0, jf.ext_scale(jf.ext_sub(t1, t0), xs))
+                for t0, t1 in splits
+            )
+        p_prev = jf.ext_add(jf.ext_mul(a0, b1), jf.ext_mul(a1, b0))
+        q_prev = jf.ext_mul(b0, b1)
+        val = jf.ext_mul(e, jf.ext_add(p_prev, jf.ext_mul(lam_dev, q_prev)))
+        out.append(jf.ext_sum(val, axis=0))
     return jnp.stack(out)
 
 
 @jax.jit
-def _gkr_fold(cols, r_cf):
-    """Fold every column MLE by r: (5, 4, m) -> (5, 4, m/2); r_cf (4, 1)."""
-    t0, t1 = _pair_split_cf(cols)
-    return jf.add(t0, jf.ext_mul_cf(jf.sub(t1, t0), r_cf))
+def _gkr_fold(cols, r_dev):
+    """Fold every column MLE by r: five (m, 4) -> five (m/2, 4)."""
+    folded = []
+    for c in cols:
+        t0, t1 = _pair_split(c)
+        folded.append(jf.ext_add(t0, jf.ext_mul(jf.ext_sub(t1, t0), r_dev)))
+    return tuple(folded)
 
 
 # sample_idx value after any EF squeeze (RATE - EF_D)
@@ -115,21 +122,26 @@ def _layer_scan_step_jit(n_pairs: int):
     from .device_transcript import duplex_absorb_sample_ext
 
     @jax.jit
-    def step(state, cols, active_pairs, lam_cf):
+    def step(state, cols, active_pairs, lam_dev):
         mask = jax.lax.iota(jnp.uint32, n_pairs) < active_pairs  # bool
-        t0, t1 = _pair_split_cf(cols)  # (5, 4, n_pairs)
-        d = jf.sub(t1, t0)
+        splits = [_pair_split(c) for c in cols]  # five ((n_pairs,4) x2)
         evs = []
         for x in (1, 2, 3):
-            cx = t1 if x == 1 else jf.add(t0, jf.mul(d, jf.const(x)))
-            e, a0, b0, a1, b1 = cx[0], cx[1], cx[2], cx[3], cx[4]
-            p_prev = jf.add(jf.ext_mul_cf(a0, b1), jf.ext_mul_cf(a1, b0))
-            q_prev = jf.ext_mul_cf(b0, b1)
-            val = jf.ext_mul_cf(
-                e, jf.add(p_prev, jf.ext_mul_cf(lam_cf, q_prev))
-            )
+            if x == 1:
+                e, a0, b0, a1, b1 = (t1 for _, t1 in splits)
+            else:
+                xs = jf.const(x)
+                e, a0, b0, a1, b1 = (
+                    jf.ext_add(t0, jf.ext_scale(jf.ext_sub(t1, t0), xs))
+                    for t0, t1 in splits
+                )
+            p_prev = jf.ext_add(jf.ext_mul(a0, b1), jf.ext_mul(a1, b0))
+            q_prev = jf.ext_mul(b0, b1)
+            val = jf.ext_mul(e, jf.ext_add(p_prev, jf.ext_mul(lam_dev, q_prev)))
             evs.append(
-                jf.base_sum(jnp.where(mask, val, jnp.uint32(0)), axis=-1)
+                jf.ext_sum(
+                    jnp.where(mask[:, None], val, jnp.uint32(0)), axis=0
+                )
             )
         evals3 = jnp.stack(evs)  # (3, 4) Monty
 
@@ -138,37 +150,44 @@ def _layer_scan_step_jit(n_pairs: int):
         # sample_ext), which is cursor-uniform per sub-round
         state, r = duplex_absorb_sample_ext(state, evals3.reshape(-1))
 
-        folded = jf.add(t0, jf.ext_mul_cf(d, r[:, None]))  # (5, 4, n_pairs)
-        cols = jnp.concatenate([folded, jnp.zeros_like(folded)], axis=-1)
+        cols = tuple(
+            jnp.concatenate(
+                [
+                    jf.ext_add(t0, jf.ext_mul(jf.ext_sub(t1, t0), r)),
+                    jnp.zeros((n_pairs, 4), jnp.uint32),
+                ],
+                axis=0,
+            )
+            for t0, t1 in splits
+        )
         return state, cols, evals3, r
 
     return step
 
 
-def _layer_rounds_scan(state0, cols, lam_cf, num_subs: int):
+def _layer_rounds_scan(state0, cols, lam_dev, num_subs: int):
     """All `num_subs` masked sub-rounds of one GKR layer as ONE lax.scan.
 
     state0: (16,) sponge state entering with absorb_idx == 0 (guaranteed:
-    every entry point follows a ``sample_ext``). cols: (5, 4, B) Monty
-    component-first with the ACTIVE entries (2^num_subs of them) contiguous
-    at the front of the data axis; the buffer is zero-padded up to the tier
-    size so layers share the traced step body.
+    every entry point follows a ``sample_ext``). cols: tuple of five (B, 4)
+    Monty arrays with the ACTIVE entries (2^num_subs of them) contiguous at
+    the front; each buffer is zero-padded up to the tier size so layers
+    share the traced step body.
 
     Each step is bit-identical to the unrolled path. Returns (final sponge
-    state, final cols buffer, (num_subs, 3, 4) evals, (num_subs, 4)
+    state, final cols buffers, (num_subs, 3, 4) evals, (num_subs, 4)
     challenges).
     """
-    active = int(cols.shape[-1])
+    active = int(cols[0].shape[0])
     tier = _scan_tier_entries(active)
     if tier > active:
-        cols = jnp.concatenate(
-            [cols, jnp.zeros((5, 4, tier - active), jnp.uint32)], axis=-1
-        )
+        pad = jnp.zeros((tier - active, 4), jnp.uint32)
+        cols = tuple(jnp.concatenate([c, pad], axis=0) for c in cols)
     step = _layer_scan_step_jit(tier // 2)
 
     def body(carry, _):
         state, cols, active_pairs = carry
-        state, cols, evals3, r = step(state, cols, active_pairs, lam_cf)
+        state, cols, evals3, r = step(state, cols, active_pairs, lam_dev)
         return (state, cols, active_pairs >> 1), (evals3, r)
 
     (state, cols, _), (evals_all, r_all) = jax.lax.scan(
@@ -189,14 +208,11 @@ class FracSumcheckResult:
 
 
 def _combine_layer(p, q):
-    """(4, 2^t) -> (4, 2^{t-1}): projective fraction addition of pairs
-    (component-first)."""
-    pv = p.reshape(4, -1, 2)
-    qv = q.reshape(4, -1, 2)
-    p0, p1 = pv[..., 0], pv[..., 1]
-    q0, q1 = qv[..., 0], qv[..., 1]
-    p_out = jf.add(jf.ext_mul_cf(p0, q1), jf.ext_mul_cf(p1, q0))
-    q_out = jf.ext_mul_cf(q0, q1)
+    """(2^t, 4) -> (2^{t-1}, 4): projective fraction addition of pairs."""
+    p0, p1 = _pair_split(p)
+    q0, q1 = _pair_split(q)
+    p_out = jf.ext_add(jf.ext_mul(p0, q1), jf.ext_mul(p1, q0))
+    q_out = jf.ext_mul(q0, q1)
     return p_out, q_out
 
 
@@ -216,17 +232,13 @@ def fractional_sumcheck(
     total_rounds = int(p_evals.shape[0]).bit_length() - 1
     assert p_evals.shape[0] == 1 << total_rounds
 
-    # component-first from here on (see module docstring): (2^t, 4) -> (4, 2^t)
-    p_cf = jnp.swapaxes(jnp.asarray(p_evals), 0, 1)
-    q_cf = jnp.swapaxes(jnp.asarray(q_evals), 0, 1)
-
     # build the layer stack: layers[t] has 2^t fractions; layers[total]=input
-    layers = [(p_cf, q_cf)]
-    while layers[-1][0].shape[-1] > 1:
+    layers = [(jnp.asarray(p_evals), jnp.asarray(q_evals))]
+    while layers[-1][0].shape[0] > 1:
         layers.append(_combine_layer(*layers[-1]))
     layers.reverse()  # layers[t] now has 2^t entries
 
-    root_p, root_q = _ef(layers[0][0][:, 0]), _ef(layers[0][1][:, 0])
+    root_p, root_q = _ef(layers[0][0][0]), _ef(layers[0][1][0])
     if assert_zero:
         v.assert_zero(root_p, "LogUp fractional sum is non-zero")
     else:
@@ -239,10 +251,7 @@ def fractional_sumcheck(
     # layer 1 claims checked directly by the verifier
     p1, q1 = layers[1]
     cl = GkrLayerClaims(
-        p_xi_0=_ef(p1[:, 0]),
-        p_xi_1=_ef(p1[:, 1]),
-        q_xi_0=_ef(q1[:, 0]),
-        q_xi_1=_ef(q1[:, 1]),
+        p_xi_0=_ef(p1[0]), p_xi_1=_ef(p1[1]), q_xi_0=_ef(q1[0]), q_xi_1=_ef(q1[1])
     )
     claims.append(cl)
     for c in (cl.p_xi_0, cl.q_xi_0, cl.p_xi_1, cl.q_xi_1):
@@ -254,46 +263,41 @@ def fractional_sumcheck(
 
     for rnd in range(1, total_rounds):
         lam = transcript.sample_ext()
-        lam_cf = jnp.asarray(v.ef_dev(lam)).reshape(4, 1)
+        lam_dev = v.ef_dev(lam)
 
         p_next, q_next = layers[rnd + 1]
         size = 1 << rnd
         # columns over y in H_rnd: p(0,y)=p_next[2y], p(1,y)=p_next[2y+1]
-        pv = p_next.reshape(4, -1, 2)
-        qv = q_next.reshape(4, -1, 2)
-        p0, p1v = pv[..., 0], pv[..., 1]
-        q0, q1v = qv[..., 0], qv[..., 1]
-        eq_tab = jnp.swapaxes(
-            jnp.asarray(eq_hypercube_dev(v.stack(xi_prev))), 0, 1
-        )
+        p0, p1v = _pair_split(p_next)
+        q0, q1v = _pair_split(q_next)
+        eq_tab = eq_hypercube_dev(v.stack(xi_prev))
 
         round_polys: List[List[np.ndarray]] = []
         rho: List[np.ndarray] = []
-        # all five column MLEs share length 2^rnd: batch them into one
-        # component-first (5, 4, m) array so each sub-round is TWO jitted
-        # calls (eval+fold) instead of ~30 inlined slice/mul chains per
-        # column
-        cols = jnp.stack([jnp.asarray(c) for c in (eq_tab, p0, q0, p1v, q1v)])
+        # the five column MLEs stay SEPARATE (m, 4) arrays (see module
+        # docstring: a stacked (5, m, 4) batch gets the 5-axis on the TPU
+        # lanes); each sub-round is still TWO jitted calls (eval+fold)
+        cols = tuple(jnp.asarray(c) for c in (eq_tab, p0, q0, p1v, q1v))
 
         # head: unroll while the buffer is big (shapes shrink geometrically,
         # so these few big sub-rounds carry ~all the FLOPs at full rate)
         head = max(0, rnd - _TAIL_LOG) if _scan_ok(transcript) else rnd
         for sub in range(head):
-            evals3 = _gkr_round_evals(cols, lam_cf)
+            evals3 = _gkr_round_evals(cols, jnp.asarray(lam_dev))
             evals_at = [_ef(evals3[i]) for i in range(3)]
             for c in evals_at:
                 transcript.observe_ext(c)
             round_polys.append(evals_at)
             r_sub = transcript.sample_ext()
             rho.append(r_sub)
-            r_cf = jnp.asarray(v.ef_dev(r_sub)).reshape(4, 1)
-            cols = _gkr_fold(cols, r_cf)
+            r_dev = v.ef_dev(r_sub)
+            cols = _gkr_fold(cols, jnp.asarray(r_dev))
 
         # tail: one masked lax.scan body per layer (bit-identical events)
         if head < rnd:
             assert transcript.absorb_idx == 0
             state, cols, evals_all, r_all = _layer_rounds_scan(
-                transcript.state, cols, lam_cf, rnd - head
+                transcript.state, cols, jnp.asarray(lam_dev), rnd - head
             )
             transcript.state = state
             transcript.absorb_idx = 0
@@ -303,10 +307,10 @@ def fractional_sumcheck(
                 rho.append(_ef(r_all[i]))
 
         cl = GkrLayerClaims(
-            p_xi_0=_ef(cols[1, :, 0]),
-            q_xi_0=_ef(cols[2, :, 0]),
-            p_xi_1=_ef(cols[3, :, 0]),
-            q_xi_1=_ef(cols[4, :, 0]),
+            p_xi_0=_ef(cols[1][0]),
+            q_xi_0=_ef(cols[2][0]),
+            p_xi_1=_ef(cols[3][0]),
+            q_xi_1=_ef(cols[4][0]),
         )
         claims.append(cl)
         for c in (cl.p_xi_0, cl.q_xi_0, cl.p_xi_1, cl.q_xi_1):
