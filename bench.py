@@ -320,8 +320,8 @@ def main():
     # still lands an e2e number when the remote compile service is slow or
     # wedged for big programs (observed on the tunneled dev chip).
     eager_reserve = min(
-        float(os.environ.get("SWIRL_BENCH_EAGER_RESERVE_S", "600")),
-        total_budget / 3.0,
+        float(os.environ.get("SWIRL_BENCH_EAGER_RESERVE_S", "900")),
+        total_budget / 2.0,
     )
     while left() > 60.0 + eager_reserve:
         line = _run_stage(
