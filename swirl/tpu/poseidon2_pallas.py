@@ -22,6 +22,7 @@ arithmetic inside the kernel reuses the same portable jnp Montgomery ops.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache, partial
 
 import numpy as np
@@ -35,7 +36,22 @@ from ..hash.poseidon2 import DIGEST, RATE, WIDTH
 
 TILE_SUB = 8
 TILE_LANE = 128
-TILE = TILE_SUB * TILE_LANE  # batch elements per grid step
+TILE = TILE_SUB * TILE_LANE  # minimum batch elements per grid step
+
+
+def _pick_sub(nt: int) -> int:
+    """Sublane-tile count per grid step. Bigger blocks amortize grid-step
+    overhead and give the VPU several independent permutation chains per
+    vector op (each (sub, 128) op is sub/8 vregs); measured on v5e the
+    per-step overhead dominates at sub=8. Env SWIRL_P2_SUB pins it for
+    experiments."""
+    env = int(os.environ.get("SWIRL_P2_SUB", "0"))
+    if env:
+        return env
+    for sub in (64, 32, 16, 8):
+        if nt % sub == 0:
+            return sub
+    return TILE_SUB
 
 
 @lru_cache(maxsize=None)
@@ -160,7 +176,7 @@ def _hash_kernel(w: int, n_half: int, n_partial: int, in_ref, ext_rc_ref,
 
 
 @lru_cache(maxsize=None)
-def _hash_cols_fn(w: int, interpret: bool):
+def _hash_cols_fn(w: int, interpret: bool, sub: int = TILE_SUB):
     num_chunks = max(1, -(-w // RATE))
     w_pad = num_chunks * RATE
     ext_rc, int_rc, diag = _mont_round_constants()
@@ -175,16 +191,13 @@ def _hash_cols_fn(w: int, interpret: bool):
                 [matT, jnp.zeros((w_pad - matT.shape[0], n), jnp.uint32)], axis=0
             )
         arr = matT.reshape(w_pad, nt, TILE_LANE)
-        grid = (nt // TILE_SUB, num_chunks)
-        const_spec = lambda shape: pl.BlockSpec(
-            shape, lambda i, j: (0,) * len(shape), memory_space=pltpu.VMEM
-        )
+        grid = (nt // sub, num_chunks)
         out = pl.pallas_call(
             partial(_hash_kernel, w, n_half, n_partial),
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
-                    (RATE, TILE_SUB, TILE_LANE),
+                    (RATE, sub, TILE_LANE),
                     lambda i, j: (j, i, 0),
                     memory_space=pltpu.VMEM,
                 ),
@@ -199,12 +212,12 @@ def _hash_cols_fn(w: int, interpret: bool):
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (DIGEST, TILE_SUB, TILE_LANE),
+                (DIGEST, sub, TILE_LANE),
                 lambda i, j: (0, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             out_shape=jax.ShapeDtypeStruct((DIGEST, nt, TILE_LANE), jnp.uint32),
-            scratch_shapes=[pltpu.VMEM((WIDTH, TILE_SUB, TILE_LANE), jnp.uint32)],
+            scratch_shapes=[pltpu.VMEM((WIDTH, sub, TILE_LANE), jnp.uint32)],
             interpret=interpret,
         )(arr, ext_rc, int_rc, diag)
         return out.reshape(DIGEST, n)
@@ -229,7 +242,8 @@ def hash_cols(matT) -> jnp.ndarray:
     from . import pallas_mode
 
     w = int(matT.shape[0])
-    return _hash_cols_fn(w, pallas_mode() == "interpret")(matT)
+    nt = int(matT.shape[1]) // TILE_LANE
+    return _hash_cols_fn(w, pallas_mode() == "interpret", _pick_sub(nt))(matT)
 
 
 def _compress_kernel(n_half: int, n_partial: int, in_ref, ext_rc_ref,
@@ -250,7 +264,7 @@ def _compress_kernel(n_half: int, n_partial: int, in_ref, ext_rc_ref,
 
 
 @lru_cache(maxsize=None)
-def _compress_cols_fn(interpret: bool):
+def _compress_cols_fn(interpret: bool, sub: int = TILE_SUB):
     ext_rc, int_rc, diag = _mont_round_constants()
     n_half = ext_rc.shape[0] // 2
     n_partial = int_rc.shape[0]
@@ -261,10 +275,10 @@ def _compress_cols_fn(interpret: bool):
         arr = pairs.reshape(WIDTH, nt, TILE_LANE)
         out = pl.pallas_call(
             partial(_compress_kernel, n_half, n_partial),
-            grid=(nt // TILE_SUB,),
+            grid=(nt // sub,),
             in_specs=[
                 pl.BlockSpec(
-                    (WIDTH, TILE_SUB, TILE_LANE),
+                    (WIDTH, sub, TILE_LANE),
                     lambda i: (0, i, 0),
                     memory_space=pltpu.VMEM,
                 ),
@@ -279,7 +293,7 @@ def _compress_cols_fn(interpret: bool):
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (DIGEST, TILE_SUB, TILE_LANE),
+                (DIGEST, sub, TILE_LANE),
                 lambda i: (0, i, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -296,7 +310,8 @@ def compress_cols(pairs) -> jnp.ndarray:
     per pair (``compress_np`` semantics)."""
     from . import pallas_mode
 
-    return _compress_cols_fn(pallas_mode() == "interpret")(pairs)
+    nt = int(pairs.shape[1]) // TILE_LANE
+    return _compress_cols_fn(pallas_mode() == "interpret", _pick_sub(nt))(pairs)
 
 
 def _tower_kernel(levels: int, n_half: int, n_partial: int, in_ref,
