@@ -48,17 +48,25 @@ BASELINE_S = 3.9  # reference screening tier total GPU prove (2^26 cells)
 BASELINE_CELLS_PER_S = (1 << 26) / BASELINE_S
 
 
+def _mark(label: str, t0: float) -> float:
+    """Phase timestamp to stderr so failed runs are diagnosable post-hoc."""
+    now = time.perf_counter()
+    print(f"bench: phase {label} +{now - t0:.1f}s", file=sys.stderr, flush=True)
+    return now
+
+
 def e2e_bench():
     import numpy as np
 
     from swirl import metrics
     from swirl.engine import StarkEngine
     from swirl.params import app_params_with_100_bits_security
-    from swirl.prover.backend import ProvingContext
+    from swirl.prover.backend import AirContext, ProvingContext
     from swirl.prover.fused import enable_compile_cache, prove_fused
     from swirl.testing.synthetic import SyntheticAir, uniform_shape
 
     enable_compile_cache()
+    t_all = time.perf_counter()
 
     log_stacked = max(LOG_ROWS + max(WIDTH.bit_length() - 1, 0) - 11, LOG_ROWS + 2)
     log_stacked = min(log_stacked, 24)
@@ -69,17 +77,25 @@ def e2e_bench():
         LOG_ROWS, WIDTH, num_constraints=16, num_interactions=8, degree=3
     )
     air = SyntheticAir(shape)
-    trace = air.generate_trace()
 
     pk, vk = eng.keygen([air])
+    _mark("keygen", t_all)
     dpk = eng.transport_pk(pk)
-    ctx = ProvingContext([eng.context_for(0, trace, [], [])])
+    # The synthetic trace is all-zeros (Monty(0) == 0): build it directly on
+    # device instead of shipping 2^26 x 4B of zeros through the tunnel H2D.
+    import jax.numpy as jnp
+
+    dev_trace = jnp.zeros((air.common_main_width(), 1 << LOG_ROWS), jnp.uint32)
+    ctx = ProvingContext(
+        [(0, AirContext(cached_mains=[], common_main=dev_trace, public_values=[]))]
+    )
+    _mark("transport", t_all)
 
     # compile + first prove (also validates)
     t0 = time.perf_counter()
     proof = prove_fused(eng.backend, dpk, ctx, mode=MODE)
     cold_s = time.perf_counter() - t0
-    print(f"bench: cold prove ({MODE}) {cold_s:.2f}s", file=sys.stderr)
+    print(f"bench: cold prove ({MODE}) {cold_s:.2f}s", file=sys.stderr, flush=True)
 
     best = None
     spans = {}
@@ -180,45 +196,49 @@ def commit_bench():
 
     enable_compile_cache()
 
-    from swirl.fields import jfield as jf
     from swirl.fields.babybear import P
     from swirl.prover.commit_kernel import commit_kernel
 
     l_skip, k_whir, log_blowup = 4, 4, 1
     rows = 1 << LOG_ROWS
 
-    rng = np.random.default_rng(0)
-    trace_host = rng.integers(0, P, (WIDTH, rows), dtype=np.uint64)
-    trace = jnp.asarray(jf.const_arr(trace_host))
-    np.asarray(trace[0, :1])  # force H2D
+    # ONE jitted program for the whole stage (each extra jit program costs
+    # ~20-70 s of tunnel round trips regardless of the persistent cache):
+    # generate a pseudo-random trace ON DEVICE (multiplicative hash of the
+    # cell index, cheaply reduced into [0, P) — any value < P is a valid
+    # Monty form and commit timing is data-independent), then run k chained
+    # commits where k is a RUNTIME argument (fori_loop with traced bounds),
+    # so t(1) and t(1+REPEATS) come from the same executable.
+    t_all = time.perf_counter()
 
-    def chained(k: int):
-        @jax.jit
-        def run(x):
-            def body(i, x):
-                code, layers = commit_kernel(l_skip, log_blowup, k_whir, x)
-                root = layers[-1]  # (8, 1)
-                return jax.lax.dynamic_update_slice(
-                    x, jnp.broadcast_to(root, (8, rows)), (0, 0)
-                )
+    @jax.jit
+    def run(k):
+        col = jnp.arange(WIDTH, dtype=jnp.uint32)[:, None]
+        row = jnp.arange(rows, dtype=jnp.uint32)[None, :]
+        x = (row * jnp.uint32(2654435761)) ^ (col * jnp.uint32(0x9E3779B9))
+        x = x & jnp.uint32(0x7FFFFFFF)
+        x = x - jnp.where(x >= jnp.uint32(P), jnp.uint32(P), jnp.uint32(0))
 
-            return jax.lax.fori_loop(0, k, body, x)
+        def body(i, x):
+            code, layers = commit_kernel(l_skip, log_blowup, k_whir, x)
+            root = layers[-1]  # (8, 1)
+            return jax.lax.dynamic_update_slice(
+                x, jnp.broadcast_to(root, (8, rows)), (0, 0)
+            )
 
-        return run
+        return jax.lax.fori_loop(0, k, body, x)[0, :1]
 
-    run1 = chained(1)
-    runk = chained(1 + REPEATS)
-    np.asarray(run1(trace)[0, :1])
-    np.asarray(runk(trace)[0, :1])
+    np.asarray(run(1))  # compile + first run
+    _mark("compile", t_all)
 
-    def timed(f):
+    def timed(k):
         t0 = time.perf_counter()
-        y = f(trace)
-        np.asarray(y[0, :1])
+        np.asarray(run(k))
         return time.perf_counter() - t0
 
-    t1 = min(timed(run1) for _ in range(2))
-    tk = min(timed(runk) for _ in range(2))
+    t1 = min(timed(1) for _ in range(2))
+    tk = min(timed(1 + REPEATS) for _ in range(2))
+    _mark("timing_done", t_all)
     per_commit = max((tk - t1) / REPEATS, 1e-9)
     cells = rows * WIDTH
     cells_per_s = cells / per_commit
@@ -235,30 +255,65 @@ def commit_bench():
     )
 
 
-def _run_stage(stage: str, budget_s: float, extra_env: dict) -> str | None:
-    """Run one attempt in a killable child; return its JSON line or None."""
+def _run_stage(
+    stage: str,
+    budget_s: float,
+    extra_env: dict,
+    startup_timeout_s: float = 90.0,
+) -> str | None:
+    """Run one attempt in a killable child; return its JSON line or None.
+
+    Two kill conditions: total wall-clock over ``budget_s``, or NO output at
+    all within ``startup_timeout_s``. The axon relay intermittently wedges a
+    whole process at connect time, before even jax's import-time warning
+    prints (observed r3+r4); a healthy child always produces stderr within
+    seconds, so total silence past the startup window means dead — kill it
+    cheaply and let the caller retry instead of draining the budget.
+    """
+    import threading
+
     env = dict(os.environ)
     env["SWIRL_BENCH_STAGE"] = stage
     env.update({k: str(v) for k, v in extra_env.items()})
     t0 = time.perf_counter()
-    try:
-        res = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-            stdout=subprocess.PIPE,
-            stderr=sys.stderr,
-            timeout=budget_s,
-        )
-    except subprocess.TimeoutExpired:
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+    )
+    got_output = [False]
+
+    def pump():
+        for raw in iter(proc.stderr.readline, b""):
+            got_output[0] = True
+            sys.stderr.buffer.write(raw)
+            sys.stderr.flush()
+
+    t = threading.Thread(target=pump, daemon=True)
+    t.start()
+    killed_reason = None
+    while proc.poll() is None:
+        now = time.perf_counter()
+        if now - t0 > budget_s:
+            killed_reason = f"exceeded {budget_s:.0f}s budget"
+            break
+        if not got_output[0] and now - t0 > startup_timeout_s:
+            killed_reason = f"silent for {startup_timeout_s:.0f}s (relay wedge)"
+            break
+        time.sleep(1.0)
+    if killed_reason is not None:
+        proc.kill()
+        proc.wait()
         print(
-            f"bench: stage {stage} {extra_env} exceeded {budget_s:.0f}s budget; "
-            "killed",
+            f"bench: stage {stage} {extra_env} {killed_reason}; killed",
             file=sys.stderr,
         )
         return None
     dt = time.perf_counter() - t0
-    out = res.stdout.decode(errors="replace")
+    out = proc.stdout.read().decode(errors="replace")
+    t.join(timeout=5.0)
     for line in out.splitlines():
         line = line.strip()
         if line.startswith("{") and '"metric"' in line:
@@ -268,7 +323,7 @@ def _run_stage(stage: str, budget_s: float, extra_env: dict) -> str | None:
             )
             return line
     print(
-        f"bench: stage {stage} {extra_env} rc={res.returncode} in {dt:.0f}s, "
+        f"bench: stage {stage} {extra_env} rc={proc.returncode} in {dt:.0f}s, "
         "no metric line",
         file=sys.stderr,
     )
@@ -308,11 +363,29 @@ def main():
     commit_budget = min(
         float(os.environ.get("SWIRL_BENCH_COMMIT_BUDGET_S", "300")), left()
     )
-    if commit_budget > 10.0:
-        banked = _run_stage(
-            "commit", commit_budget, {"SWIRL_BENCH_LOG_ROWS": LOG_ROWS}
-        )
+
+    def try_stage(stage, env, attempts=3):
+        """Retry wedge-killed attempts (a wedge costs ~90 s, not a budget)."""
+        for _ in range(attempts):
+            if left() < 30.0:
+                return None
+            line = _run_stage(stage, min(commit_budget, left()), env)
+            if line is not None:
+                return line
+        return None
+
+    # Rung 0: small commit (2^18) — cheapest possible bank; one jitted
+    # program, device-generated trace, so only a wedged relay can kill it
+    # (and the startup watchdog makes each wedge cost ~90 s).
+    # Rung 1 upgrades to the headline commit shape.
+    if LOG_ROWS > 18 and commit_budget > 10.0:
+        banked = try_stage("commit", {"SWIRL_BENCH_LOG_ROWS": 18})
         if banked is not None:
+            print(banked, flush=True)
+    if commit_budget > 10.0 and left() > 30.0:
+        line = try_stage("commit", {"SWIRL_BENCH_LOG_ROWS": LOG_ROWS})
+        if line is not None:
+            banked = line
             print(banked, flush=True)
 
     # Segmented e2e first (fastest warm prove), with enough budget held back
