@@ -1,12 +1,13 @@
 """Poseidon2-BabyBear-16 sponge hashing as a Pallas TPU kernel.
 
 Layout: the batch (Merkle leaf index) rides the TPU lane+sublane axes as
-(8, 128) vector registers; the sponge state is a (16, 8, 128) VMEM scratch
-(16 vregs) carried across absorb steps. One grid step = one absorb
-(overwrite up to RATE=8 state rows) + one full permutation. Rounds run in
-``fori_loop``s with round constants as kernel operands, keeping the Mosaic
-program small (~500 vector ops) while the VPU does ~600 Montgomery
-multiplies per permutation on full-width (8, 128) tiles.
+(sub, 128) blocks (sub sublanes chosen by ``_pick_sub``, default 8-64);
+the sponge state is a (16, sub, 128) VMEM scratch carried across absorb
+steps. One grid step = one absorb (overwrite up to RATE=8 state rows) +
+one full permutation. Rounds run in ``fori_loop``s with round constants
+as kernel operands, keeping the Mosaic program small (~500 vector ops)
+while the VPU does ~600 Montgomery multiplies per permutation on
+(sub, 128) tiles (sub/8 independent permutation chains per vector op).
 
 Grid: (column_tiles, absorb_chunks); the absorb loop is the *inner* grid
 dimension, so the VMEM state scratch carries the sponge across chunks of
@@ -47,6 +48,14 @@ def _pick_sub(nt: int) -> int:
     experiments."""
     env = int(os.environ.get("SWIRL_P2_SUB", "0"))
     if env:
+        # An invalid override (not a positive multiple of TILE_SUB dividing
+        # nt) would truncate the grid and silently skip column tiles —
+        # validate hard instead of hashing garbage.
+        if env <= 0 or env % TILE_SUB != 0 or nt % env != 0:
+            raise ValueError(
+                f"SWIRL_P2_SUB={env} invalid: need a positive multiple of "
+                f"{TILE_SUB} that divides nt={nt}"
+            )
         return env
     for sub in (64, 32, 16, 8):
         if nt % sub == 0:
@@ -135,9 +144,10 @@ def _hash_kernel(w: int, n_half: int, n_partial: int, in_ref, ext_rc_ref,
                  int_rc_ref, diag_ref, out_ref, state):
     """Grid step: absorb one RATE-chunk of up to 8 input rows, permute.
 
-    in_ref: (RATE, 8, 128) block of the (w_pad, nt, 128) input
-    out_ref: (DIGEST, 8, 128) digest block for this column tile
-    state: (WIDTH, 8, 128) VMEM scratch carried across the chunk axis
+    in_ref: (RATE, sub, 128) block of the (w_pad, nt, 128) input
+    out_ref: (DIGEST, sub, 128) digest block for this column tile
+    state: (WIDTH, sub, 128) VMEM scratch carried across the chunk axis
+    (sub sublane-tiles per grid step, chosen by ``_pick_sub``)
     """
     j = pl.program_id(1)
     num_chunks = pl.num_programs(1)
@@ -176,7 +186,7 @@ def _hash_kernel(w: int, n_half: int, n_partial: int, in_ref, ext_rc_ref,
 
 
 @lru_cache(maxsize=None)
-def _hash_cols_fn(w: int, interpret: bool, sub: int = TILE_SUB):
+def _hash_cols_fn(w: int, interpret: bool, sub: int):
     num_chunks = max(1, -(-w // RATE))
     w_pad = num_chunks * RATE
     ext_rc, int_rc, diag = _mont_round_constants()
@@ -248,7 +258,7 @@ def hash_cols(matT) -> jnp.ndarray:
 
 def _compress_kernel(n_half: int, n_partial: int, in_ref, ext_rc_ref,
                      int_rc_ref, diag_ref, out_ref):
-    """(16, 8, 128) digest-pair block -> single truncated permutation.
+    """(WIDTH, sub, 128) digest-pair block -> single truncated permutation.
 
     The Merkle 2-to-1 compression is ONE Poseidon2 permutation of the
     concatenated digests (``compress_np``), NOT a rate-8 sponge absorb of
@@ -264,7 +274,7 @@ def _compress_kernel(n_half: int, n_partial: int, in_ref, ext_rc_ref,
 
 
 @lru_cache(maxsize=None)
-def _compress_cols_fn(interpret: bool, sub: int = TILE_SUB):
+def _compress_cols_fn(interpret: bool, sub: int):
     ext_rc, int_rc, diag = _mont_round_constants()
     n_half = ext_rc.shape[0] // 2
     n_partial = int_rc.shape[0]
