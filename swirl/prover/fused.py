@@ -182,7 +182,7 @@ def enable_compile_cache(path: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
-_AOT_CACHE_VERSION = 1
+_AOT_CACHE_VERSION = 2
 
 
 @lru_cache(maxsize=1)
@@ -250,7 +250,7 @@ def _aot_path(mpk, ctx) -> str | None:
 
 
 def _load_aot_segments(path: str):
-    """((s1..s4) loaded executables, meta) from a bundle file, or None."""
+    """((s1, s2a, s2b, s3, s4) loaded executables, meta) bundle, or None."""
     import pickle
     import sys
 
@@ -447,9 +447,9 @@ def _unpack(meta, key, flat):
 
 
 def _segmented_fn(backend, mpk, ctx):
-    """Four stage-level jitted programs with the device-sponge state (and
+    """Five stage-level jitted programs with the device-sponge state (and
     trace-time cursor constants) crossing between them: commit+preamble /
-    GKR+batch constraints / stacked reduction / WHIR.
+    GKR fractional sumcheck / batch constraints / stacked reduction / WHIR.
 
     Same zero-host-sync property as the monolithic program — the transcript
     never leaves the device — but each stage compiles separately, bounding
@@ -459,7 +459,11 @@ def _segmented_fn(backend, mpk, ctx):
 
     from ..proof import TraceVData
     from .backend import Coordinator, ProvingContext  # noqa: F401
-    from .logup_zerocheck import TraceProver, prove_zerocheck_and_logup
+    from .logup_zerocheck import (
+        TraceProver,
+        prove_batch_phase,
+        prove_gkr_phase,
+    )
     from .merkle import MerkleTree
     from .stacked_pcs import StackedPcsData
     from .stacked_reduction import prove_stacked_opening_reduction
@@ -529,47 +533,67 @@ def _segmented_fn(backend, mpk, ctx):
             tuple(common_data.tree.layers),
         )
 
-    def seg2(state, common_list):
+    def mk_traces(common_list):
+        traces = []
+        for air_id, tc in ctx.per_trace:
+            pk = mpk.per_air[air_id]
+            vk = pk.vk
+            cm = dict(zip([a for a, _ in ctx.per_trace], common_list))[air_id]
+            traces.append(
+                TraceProver(
+                    air_id=air_id,
+                    dag=vk.symbolic_constraints,
+                    needs_next=vk.params.need_rot,
+                    d_air=vk.max_constraint_degree,
+                    public_values=list(tc.public_values),
+                    height=int(cm.shape[1]),
+                    n=int(cm.shape[1]).bit_length() - 1 - params.l_skip,
+                    preprocessed=(
+                        pk.preprocessed_data.trace
+                        if pk.preprocessed_data is not None
+                        else None
+                    ),
+                    cached=[cd.trace for cd in tc.cached_mains],
+                    common=cm,
+                )
+            )
+        return traces
+
+    def seg2a(state, common_list):
+        """GKR phase: grind, input eval, fractional sumcheck. Split from
+        the batch phase so each compiles as a separate program — the
+        monolithic RAP stage's MLIR was large enough to OOM the remote
+        compile helper at production heights."""
         with vmode.trace_mode():
             t = restore_transcript(state, "cur1")
-            traces = []
-            for air_id, tc in ctx.per_trace:
-                pk = mpk.per_air[air_id]
-                vk = pk.vk
-                cm = dict(zip([a for a, _ in ctx.per_trace], common_list))[air_id]
-                traces.append(
-                    TraceProver(
-                        air_id=air_id,
-                        dag=vk.symbolic_constraints,
-                        needs_next=vk.params.need_rot,
-                        d_air=vk.max_constraint_degree,
-                        public_values=list(tc.public_values),
-                        height=int(cm.shape[1]),
-                        n=int(cm.shape[1]).bit_length() - 1 - params.l_skip,
-                        preprocessed=(
-                            pk.preprocessed_data.trace
-                            if pk.preprocessed_data is not None
-                            else None
-                        ),
-                        cached=[cd.trace for cd in tc.cached_mains],
-                        common=cm,
-                    )
-                )
-            gkr_proof, batch_proof, r = prove_zerocheck_and_logup(
+            gkr_proof, xi, beta = prove_gkr_phase(
+                t, params, mpk.max_constraint_degree, mk_traces(common_list)
+            )
+        save_cursor(t, "cur2a")
+        return (
+            t.state,
+            _pack(meta, "rap_gkr", _to_plain(gkr_proof)),
+            jnp.stack(xi),
+            beta,
+        )
+
+    def seg2b(state, xi_stack, beta, common_list):
+        with vmode.trace_mode():
+            t = restore_transcript(state, "cur2a")
+            xi = [xi_stack[i] for i in range(xi_stack.shape[0])]
+            batch_proof, r = prove_batch_phase(
                 t,
                 params,
                 mpk.max_constraint_degree,
-                traces,
+                mk_traces(common_list),
+                xi,
+                beta,
                 save_memory=bool(backend.config.zerocheck_save_memory),
             )
         save_cursor(t, "cur2")
         return (
             t.state,
-            _pack(
-                meta,
-                "rap",
-                {"gkr": _to_plain(gkr_proof), "batch": _to_plain(batch_proof)},
-            ),
+            _pack(meta, "rap_batch", _to_plain(batch_proof)),
             jnp.stack(r),
         )
 
@@ -622,7 +646,13 @@ def _segmented_fn(backend, mpk, ctx):
             whir_proof = prove_whir_opening(t, params, datas, u_cube)
         return _pack(meta, "whir", _to_plain(whir_proof))
 
-    segs = (jax.jit(seg1), jax.jit(seg2), jax.jit(seg3), jax.jit(seg4))
+    segs = (
+        jax.jit(seg1),
+        jax.jit(seg2a),
+        jax.jit(seg2b),
+        jax.jit(seg3),
+        jax.jit(seg4),
+    )
     return segs, meta
 
 
@@ -640,7 +670,7 @@ def _prove_segmented(backend, mpk, ctx, trace_vdata, public_values) -> Proof:
             entry = _segmented_fn(backend, mpk, ctx)
             save_path = path  # fresh trace: persist the executables below
         cache[key] = entry
-    (s1, s2, s3, s4), meta = cache[key]
+    stages, meta = cache[key]
 
     from .. import metrics
     from jax import block_until_ready as _block
@@ -659,7 +689,7 @@ def _prove_segmented(backend, mpk, ctx, trace_vdata, public_values) -> Proof:
 
     common = [tc.common_main for _, tc in ctx.per_trace]
 
-    def run_stages(s1, s2, s3, s4):
+    def run_stages(s1, s2a, s2b, s3, s4):
         # span names match the Coordinator's (and the roofline bound keys)
         # so bench.py's roofline join attributes the segmented warm time per
         # stage; block_until_ready pins async dispatch in the right span.
@@ -668,7 +698,12 @@ def _prove_segmented(backend, mpk, ctx, trace_vdata, public_values) -> Proof:
                 call(s1, common)
             )
         with metrics.span("prove_rap_constraints"):
-            state, rap_flat, r_stack = _block(call(s2, state, common))
+            state, gkr_flat, xi_stack, beta = _block(
+                call(s2a, state, common)
+            )
+            state, batch_flat, r_stack = _block(
+                call(s2b, state, xi_stack, beta, common)
+            )
         with metrics.span("prove_stacked_reduction"):
             state, stacking_flat, u_stack = _block(
                 call(s3, state, r_stack, matrix, rs_matrix, layers)
@@ -677,11 +712,11 @@ def _prove_segmented(backend, mpk, ctx, trace_vdata, public_values) -> Proof:
             whir_flat = _block(
                 call(s4, state, u_stack, matrix, rs_matrix, layers)
             )
-        return commit_flat, rap_flat, stacking_flat, whir_flat
+        return commit_flat, gkr_flat, batch_flat, stacking_flat, whir_flat
 
     try:
-        commit_flat, rap_flat, stacking_flat, whir_flat = run_stages(
-            s1, s2, s3, s4
+        commit_flat, gkr_flat, batch_flat, stacking_flat, whir_flat = (
+            run_stages(*stages)
         )
     except Exception:
         # AOT-loaded executables can fail AT CALL TIME on some platforms
@@ -689,7 +724,7 @@ def _prove_segmented(backend, mpk, ctx, trace_vdata, public_values) -> Proof:
         # a deserialized executable shares a process with other compiled
         # functions). The stages are pure, so recover by re-tracing and
         # re-running from s1. A traced-stage failure is a real error.
-        if hasattr(s1, "lower"):
+        if hasattr(stages[0], "lower"):
             raise
         import sys
 
@@ -698,13 +733,13 @@ def _prove_segmented(backend, mpk, ctx, trace_vdata, public_values) -> Proof:
             file=sys.stderr,
         )
         cache[key] = _segmented_fn(backend, mpk, ctx)
-        (s1, s2, s3, s4), meta = cache[key]
+        stages, meta = cache[key]
         compiled_for_save = None
-        commit_flat, rap_flat, stacking_flat, whir_flat = run_stages(
-            s1, s2, s3, s4
+        commit_flat, gkr_flat, batch_flat, stacking_flat, whir_flat = (
+            run_stages(*stages)
         )
 
-    if compiled_for_save is not None and len(compiled_for_save) == 4:
+    if compiled_for_save is not None and len(compiled_for_save) == 5:
         # meta is fully populated once every stage has traced
         _save_aot_segments(save_path, compiled_for_save, meta)
         # later in-process proves reuse the explicit executables (the
@@ -714,13 +749,14 @@ def _prove_segmented(backend, mpk, ctx, trace_vdata, public_values) -> Proof:
 
     with metrics.span("proof_fetch"):
         commit = _unpack(meta, "commit", commit_flat)
-        rap = _unpack(meta, "rap", rap_flat)
+        gkr = _unpack(meta, "rap_gkr", gkr_flat)
+        batch = _unpack(meta, "rap_batch", batch_flat)
         stacking = _unpack(meta, "stacking", stacking_flat)
         whir = _unpack(meta, "whir", whir_flat)
     plain = {
         "common_main_commit": commit["common_main_commit"],
-        "gkr_proof": rap["gkr"],
-        "batch_constraint_proof": rap["batch"],
+        "gkr_proof": gkr,
+        "batch_constraint_proof": batch,
         "stacking_proof": stacking,
         "whir_proof": whir,
     }
@@ -733,7 +769,7 @@ def prove_fused(backend, mpk, unsorted_ctx, mode: str = "jit", mesh=None) -> Pro
     mode="jit": the whole proof is ONE compiled XLA program (compile once
     per shape, best steady-state latency; compile cost grows with the round
     count).
-    mode="segmented": four stage-level programs with the sponge state
+    mode="segmented": five stage-level programs with the sponge state
     carried across — bounded compile size for tall traces.
     mode="eager": the same trace-mode pipeline runs op-by-op with async
     dispatch — the transcript and every intermediate stay on device, there

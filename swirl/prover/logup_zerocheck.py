@@ -422,24 +422,18 @@ def _mle_rounds_scan(
     return v.ef(prev_s)
 
 
-def prove_zerocheck_and_logup(
-    transcript: Transcript,
-    params: SystemParams,
-    global_degree: int,
-    traces: List[TraceProver],
-    save_memory: bool = False,
-) -> Tuple[GkrProof, BatchConstraintProof, List[np.ndarray]]:
-    v = vm()
+def _phase_common(params, global_degree, traces):
+    """Host-side prelude shared by both prover phases: validation, the
+    round structure (n_max), and the interactions stacked layout. Cheap
+    pure-host work, recomputed per phase so the GKR and batch phases can
+    compile as SEPARATE device programs (the only device state crossing the
+    boundary is the transcript state, xi, and beta)."""
     l_skip = params.l_skip
-    num_traces = len(traces)
-    if num_traces == 0:
+    if len(traces) == 0:
         raise LogupZerocheckError("prove_zerocheck_and_logup: no traces")
     for t in traces:
         _validate_trace_dag(t)
     pv = LogupZerocheckProver(params, global_degree, traces)
-    n_max = pv.n_max
-    d_global = global_degree
-    ZERO = v.ext.ezero()
 
     # interactions stacked layout (striding threshold 0; widths are
     # interaction counts, heights are lifted trace heights)
@@ -452,27 +446,41 @@ def prove_zerocheck_and_logup(
         inter_dims.append((num_int, log_lifted))
     n_logup = calculate_n_logup(l_skip, total_interactions)
     inter_layout = StackedLayout.new(0, l_skip + n_logup, inter_dims)
+    max_msg_len = max(
+        (len(it.message) for t in traces for it in t.dag.interactions), default=0
+    )
+    return pv, n_logup, inter_layout, max_msg_len
+
+
+def prove_gkr_phase(
+    transcript: Transcript,
+    params: SystemParams,
+    global_degree: int,
+    traces: List[TraceProver],
+):
+    """Phase 1 of the RAP prover: LogUp grind, GKR input evaluation and the
+    fractional sumcheck, plus the xi extension sampling.
+
+    Returns ``(gkr_proof, xi, beta)``; ``xi`` and ``beta`` (with the
+    transcript state) are the ONLY values phase 2 needs, so the two phases
+    can run as separately-compiled device programs (reference precedent:
+    the GKR pipeline is its own kernel family in
+    ``cuda-backend/src/logup_zerocheck/fractional.rs``)."""
+    v = vm()
+    l_skip = params.l_skip
+    num_traces = len(traces)
+    pv, n_logup, inter_layout, max_msg_len = _phase_common(
+        params, global_degree, traces
+    )
+    n_max = pv.n_max
 
     logup_pow_witness = transcript.grind(params.logup.pow_bits)
     alpha = transcript.sample_ext()
     beta = transcript.sample_ext()
 
-    max_msg_len = max(
-        (len(it.message) for t in traces for it in t.dag.interactions), default=0
-    )
     beta_pows = v.ext.epowers(beta, max_msg_len + 1)
     beta_pows_dev = v.const_vec(beta_pows)
-
-    def bus_terms_host(t: TraceProver):
-        """Per-interaction beta^len * (bus+1) terms as a DEVICE (k, 4) array."""
-        return v.const_vec(
-            v.stack(
-                [
-                    v.ext.escale(beta_pows[len(it.message)], (it.bus_index + 1) % P)
-                    for it in t.dag.interactions
-                ]
-            )
-        )
+    bus_terms_host = _bus_terms_fn(beta_pows)
 
     # ---- GKR input evaluation + fractional sumcheck -----------------------
     has_interactions = len(inter_layout.sorted_cols) > 0
@@ -548,7 +556,61 @@ def prove_zerocheck_and_logup(
     n_global = max(n_max, n_logup)
     while len(xi) != l_skip + n_global:
         xi.append(transcript.sample_ext())
+
+    gkr_proof = GkrProof(
+        logup_pow_witness=logup_pow_witness,
+        q0_claim=frac.fractional_sum[1],
+        claims_per_layer=frac.claims_per_layer,
+        sumcheck_polys=frac.sumcheck_polys,
+    )
+    return gkr_proof, xi, beta
+
+
+def _bus_terms_fn(beta_pows):
+    """Per-interaction beta^len * (bus+1) terms as a DEVICE (k, 4) array."""
+    v = vm()
+
+    def bus_terms_host(t: TraceProver):
+        return v.const_vec(
+            v.stack(
+                [
+                    v.ext.escale(beta_pows[len(it.message)], (it.bus_index + 1) % P)
+                    for it in t.dag.interactions
+                ]
+            )
+        )
+
+    return bus_terms_host
+
+
+def prove_batch_phase(
+    transcript: Transcript,
+    params: SystemParams,
+    global_degree: int,
+    traces: List[TraceProver],
+    xi: List,
+    beta,
+    save_memory: bool = False,
+) -> Tuple[BatchConstraintProof, List[np.ndarray]]:
+    """Phase 2 of the RAP prover: the batched zerocheck+LogUp constraint
+    sumcheck (univariate-skip round 0 + MLE rounds) and column openings.
+
+    Consumes only the transcript plus ``xi`` and ``beta`` from the GKR
+    phase (alpha never appears after GKR input evaluation — denominators
+    here exclude the alpha shift by construction)."""
+    v = vm()
+    l_skip = params.l_skip
+    num_traces = len(traces)
+    pv, n_logup, inter_layout, max_msg_len = _phase_common(
+        params, global_degree, traces
+    )
+    d_global = global_degree
+    ZERO = v.ext.ezero()
+    n_max = pv.n_max
     pv.xi = xi
+    beta_pows = v.ext.epowers(beta, max_msg_len + 1)
+    beta_pows_dev = v.const_vec(beta_pows)
+    bus_terms_host = _bus_terms_fn(beta_pows)
 
     # ---- batching challenge, eq_3b weights --------------------------------
     lam = transcript.sample_ext()
@@ -1122,11 +1184,24 @@ def prove_zerocheck_and_logup(
         sumcheck_round_polys=sumcheck_round_polys,
         column_openings=column_openings,
     )
-    gkr_proof = GkrProof(
-        logup_pow_witness=logup_pow_witness,
-        q0_claim=frac.fractional_sum[1],
-        claims_per_layer=frac.claims_per_layer,
-        sumcheck_polys=frac.sumcheck_polys,
+    return batch_proof, r
+
+
+def prove_zerocheck_and_logup(
+    transcript: Transcript,
+    params: SystemParams,
+    global_degree: int,
+    traces: List[TraceProver],
+    save_memory: bool = False,
+) -> Tuple[GkrProof, BatchConstraintProof, List[np.ndarray]]:
+    """Full RAP prover: GKR phase then batch-constraint phase (see the
+    phase functions; reference ``prove_zerocheck_and_logup``
+    ``src/prover/logup_zerocheck/mod.rs:40``)."""
+    gkr_proof, xi, beta = prove_gkr_phase(
+        transcript, params, global_degree, traces
+    )
+    batch_proof, r = prove_batch_phase(
+        transcript, params, global_degree, traces, xi, beta, save_memory
     )
     return gkr_proof, batch_proof, r
 
