@@ -19,14 +19,22 @@ from ..proof import Proof
 from ..prover.stacked_pcs import StackedLayout
 from ..transcript import Transcript
 from .batch_constraints import BatchConstraintError, verify_zerocheck_and_logup
+from .errors import (
+    PreprocessedTraceHeightMismatch,
+    SystemParamsMismatch,
+    TraceHeightsTooLarge,
+    VerifierError,
+)
+from .errors import EmptyTraces as _EmptyTraces
 from .gkr import GkrError
-from .proof_shape import ProofShapeError, verify_proof_shape
+from .proof_shape import (
+    CachedCommitmentsMismatch,
+    ProofShapeError,
+    PublicValuesCountMismatch,
+    verify_proof_shape,
+)
 from .stacked_reduction import StackedReductionError, verify_stacked_reduction
 from .whir import WhirError, verify_whir
-
-
-class VerifierError(Exception):
-    pass
 
 
 def verify(
@@ -39,13 +47,13 @@ def verify(
     if transcript is None:
         transcript = Transcript()
     if params != mvk.params:
-        raise VerifierError("system params mismatch")
+        raise SystemParamsMismatch()
     per_air = mvk.per_air
     l_skip = params.l_skip
     num_airs = len(per_air)
     num_traces = sum(1 for v in proof.trace_vdata if v is not None)
     if num_traces == 0:
-        raise VerifierError("proof has no traces")
+        raise _EmptyTraces()
 
     layouts = verify_proof_shape(mvk, proof)
 
@@ -58,13 +66,15 @@ def verify(
         ),
     )[:num_traces]
 
-    for constraint in mvk.trace_height_constraints:
+    for c_idx, constraint in enumerate(mvk.trace_height_constraints):
         total = 0
         for air_id in trace_id_to_air_id:
             lh = proof.trace_vdata[air_id].log_height
             total += (1 << max(lh, l_skip)) * constraint.coefficients[air_id]
         if total >= constraint.threshold:
-            raise VerifierError("trace heights too large")
+            raise TraceHeightsTooLarge(
+                constraint_idx=c_idx, total=total, threshold=constraint.threshold
+            )
 
     # preamble
     transcript.observe_commit(mvk.pre_hash)
@@ -78,16 +88,28 @@ def verify(
         if vdata is not None:
             if avk.preprocessed_data is not None:
                 if avk.preprocessed_data.hypercube_dim + l_skip != vdata.log_height:
-                    raise VerifierError("preprocessed trace height mismatch")
+                    raise PreprocessedTraceHeightMismatch(
+                        air_idx=air_id,
+                        expected=avk.preprocessed_data.hypercube_dim + l_skip,
+                        actual=vdata.log_height,
+                    )
                 transcript.observe_commit(avk.preprocessed_data.commit)
             else:
                 transcript.observe(vdata.log_height)
             if len(vdata.cached_commitments) != len(avk.params.width.cached_mains):
-                raise VerifierError("cached commitment count mismatch")
+                raise CachedCommitmentsMismatch(
+                    air_idx=air_id,
+                    expected=len(avk.params.width.cached_mains),
+                    actual=len(vdata.cached_commitments),
+                )
             for c in vdata.cached_commitments:
                 transcript.observe_commit(c)
             if len(pvs) != avk.params.num_public_values:
-                raise VerifierError("public value count mismatch")
+                raise PublicValuesCountMismatch(
+                    air_idx=air_id,
+                    expected=avk.params.num_public_values,
+                    actual=len(pvs),
+                )
         for pv in pvs:
             transcript.observe(pv)
 

@@ -21,10 +21,19 @@ from ..transcript import Transcript
 from .. import poly as hpoly
 from ..prover.dag_eval import HostEvaluator, eval_nodes
 from .gkr import GkrError, verify_gkr
+from .errors import (
+    BatchConstraintError,
+    GkrDenominatorMismatch,
+    GkrNumeratorMismatch,
+    GkrQ0NotOne,
+    InconsistentClaims,
+    InvalidLogupPowWitness,
+    RoundPolyEvalCountMismatch,
+    SumClaimMismatch,
+    UnivariateCoeffCountMismatch,
+)
 
-
-class BatchConstraintError(Exception):
-    pass
+__all__ = ["BatchConstraintError", "verify_zerocheck_and_logup"]
 
 
 def _progression_exp_2(m: np.ndarray, l: int) -> np.ndarray:
@@ -74,7 +83,7 @@ def verify_zerocheck_and_logup(
     if not transcript.check_witness(
         params.logup.pow_bits, gkr_proof.logup_pow_witness
     ):
-        raise BatchConstraintError("invalid logup pow witness")
+        raise InvalidLogupPowWitness()
 
     alpha = transcript.sample_ext()
     beta = transcript.sample_ext()
@@ -94,7 +103,7 @@ def verify_zerocheck_and_logup(
             gkr_proof, transcript, l_skip + n_logup
         )
     elif not ext.eeq(gkr_proof.q0_claim, ONE):
-        raise BatchConstraintError("q0 claim should be one with no interactions")
+        raise GkrQ0NotOne()
 
     n_max = max(max(n_per_trace), 0)
     n_global = max(n_max, n_logup)
@@ -111,9 +120,9 @@ def verify_zerocheck_and_logup(
         transcript.observe_ext(p_term)
         transcript.observe_ext(q_term)
     if not ext.is_zero(p_xi_claim):
-        raise BatchConstraintError("GKR numerator claim mismatch")
+        raise GkrNumeratorMismatch()
     if not ext.eeq(q_xi_claim, alpha):
-        raise BatchConstraintError("GKR denominator claim mismatch")
+        raise GkrDenominatorMismatch()
 
     mu = transcript.sample_ext()
     sum_claim = ZERO
@@ -133,19 +142,21 @@ def verify_zerocheck_and_logup(
     s_deg = d_global + 1
     expected_len = s_deg * ((1 << l_skip) - 1) + 1
     if len(batch_proof.univariate_round_coeffs) != expected_len:
-        raise BatchConstraintError("wrong univariate round coeff count")
+        raise UnivariateCoeffCountMismatch(
+            expected=expected_len, actual=len(batch_proof.univariate_round_coeffs)
+        )
     r0 = transcript.sample_ext()
     s0 = np.stack(batch_proof.univariate_round_coeffs)
     sum_check = hpoly.sum_over_subgroup_from_coeffs(s0, l_skip)
     if not ext.eeq(sum_claim, sum_check):
-        raise BatchConstraintError("sum claim mismatch at univariate round")
+        raise SumClaimMismatch(round=0)
     cur_sum = hpoly.horner_eval(s0, r0)
     rs = [r0]
 
     for rnd in range(n_max):
         evals = batch_proof.sumcheck_round_polys[rnd]
         if len(evals) != s_deg:
-            raise BatchConstraintError("wrong round poly eval count")
+            raise RoundPolyEvalCountMismatch(round=rnd, expected=s_deg, actual=len(evals))
         for e in evals:
             transcript.observe_ext(e)
         s_at_0 = ext.esub(cur_sum, evals[0])
@@ -294,6 +305,6 @@ def verify_zerocheck_and_logup(
         evaluated = ext.eadd(evaluated, ext.emul(v, cur))
         cur = ext.emul(cur, mu)
     if not ext.eeq(cur_sum, evaluated):
-        raise BatchConstraintError("inconsistent final claims")
+        raise InconsistentClaims()
 
     return rs

@@ -14,10 +14,17 @@ from ..fields import ext
 from ..proof import GkrProof
 from ..transcript import Transcript
 from ..poly import interpolate_cubic_at_0123, interpolate_linear_at_01
+from .errors import (
+    GkrError,
+    GkrIncorrectLayerCount,
+    GkrIncorrectSubroundCount,
+    GkrIncorrectSumcheckPolyCount,
+    GkrLayerConsistencyFailed,
+    GkrRootConsistencyFailed,
+    GkrZeroCheckFailed,
+)
 
-
-class GkrError(Exception):
-    pass
+__all__ = ["GkrError", "verify_gkr"]
 
 
 def verify_gkr(
@@ -25,11 +32,13 @@ def verify_gkr(
 ) -> Tuple[np.ndarray, np.ndarray, List[np.ndarray]]:
     assert total_rounds > 0
     if len(proof.claims_per_layer) != total_rounds:
-        raise GkrError(
-            f"expected {total_rounds} layers, got {len(proof.claims_per_layer)}"
+        raise GkrIncorrectLayerCount(
+            expected=total_rounds, actual=len(proof.claims_per_layer)
         )
     if len(proof.sumcheck_polys) != total_rounds - 1:
-        raise GkrError("wrong number of sumcheck poly groups")
+        raise GkrIncorrectSumcheckPolyCount(
+            expected=total_rounds - 1, actual=len(proof.sumcheck_polys)
+        )
 
     transcript.observe_ext(proof.q0_claim)
 
@@ -42,9 +51,9 @@ def verify_gkr(
     )
     q_cross = ext.emul(claims.q_xi_0, claims.q_xi_1)
     if not ext.is_zero(p_cross):
-        raise GkrError("root numerator non-zero")
+        raise GkrZeroCheckFailed()
     if not ext.eeq(q_cross, proof.q0_claim):
-        raise GkrError("root denominator mismatch")
+        raise GkrRootConsistencyFailed()
 
     mu = transcript.sample_ext()
     numer_claim = interpolate_linear_at_01([claims.p_xi_0, claims.p_xi_1], mu)
@@ -57,7 +66,9 @@ def verify_gkr(
 
         polys = proof.sumcheck_polys[rnd - 1]
         if len(polys) != rnd:
-            raise GkrError(f"round {rnd}: wrong sub-round count")
+            raise GkrIncorrectSubroundCount(
+                round=rnd, expected=rnd, actual=len(polys)
+            )
         r_prime: List[np.ndarray] = []
         eq = ext.eone()
         for sub, evals in enumerate(polys):
@@ -88,7 +99,7 @@ def verify_gkr(
         q_cross = ext.emul(claims.q_xi_0, claims.q_xi_1)
         expected = ext.emul(ext.eadd(p_cross, ext.emul(lam, q_cross)), eq)
         if not ext.eeq(expected, claim):
-            raise GkrError(f"layer consistency failed at round {rnd}")
+            raise GkrLayerConsistencyFailed(round=rnd)
 
         mu = transcript.sample_ext()
         numer_claim = interpolate_linear_at_01([claims.p_xi_0, claims.p_xi_1], mu)

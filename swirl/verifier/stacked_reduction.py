@@ -19,8 +19,9 @@ from ..transcript import Transcript
 from .. import poly as hpoly
 
 
-class StackedReductionError(Exception):
-    pass
+from .errors import FinalSumMismatch, S0Mismatch, StackedReductionError
+
+__all__ = ["StackedReductionError", "verify_stacked_reduction"]
 
 
 def verify_stacked_reduction(
@@ -73,7 +74,7 @@ def verify_stacked_reduction(
     coeffs = np.stack(proof.univariate_round_coeffs)
     s_0_sum = hpoly.sum_over_subgroup_from_coeffs(coeffs, l_skip)
     if not ext.eeq(s_0, s_0_sum):
-        raise StackedReductionError("s_0 mismatch")
+        raise S0Mismatch()
 
     for c in proof.univariate_round_coeffs:
         transcript.observe_ext(c)
@@ -136,5 +137,5 @@ def verify_stacked_reduction(
             final_sum = ext.eadd(final_sum, ext.emul(qc, qv))
 
     if not ext.eeq(claim, final_sum):
-        raise StackedReductionError("final sum mismatch")
+        raise FinalSumMismatch()
     return u

@@ -21,8 +21,17 @@ from ..transcript import Transcript
 from .. import poly as hpoly
 
 
-class WhirError(Exception):
-    pass
+from .errors import (
+    FinalPolyConstraint,
+    FinalPolyDegree,
+    FoldingPoWInvalid,
+    MerkleVerify,
+    MuPoWInvalid,
+    QueryPhasePoWInvalid,
+    WhirError,
+)
+
+__all__ = ["WhirError", "verify_whir", "merkle_verify", "binary_k_fold"]
 
 
 def merkle_verify(root, idx: int, leaf_hash, proof: Sequence[np.ndarray]):
@@ -34,7 +43,7 @@ def merkle_verify(root, idx: int, leaf_hash, proof: Sequence[np.ndarray]):
             cur = compress_np(sibling, cur)
         idx >>= 1
     if not np.array_equal(np.asarray(cur) % U64(P), np.asarray(root) % U64(P)):
-        raise WhirError("merkle verification failed")
+        raise MerkleVerify(context="path recomputation")
 
 
 def tree_compress(hashes: List[np.ndarray]):
@@ -92,7 +101,7 @@ def verify_whir(
     widths = [len(v) for v in stacking_openings]
 
     if not transcript.check_witness(whir.mu_pow_bits, whir_proof.mu_pow_witness):
-        raise WhirError("mu PoW invalid")
+        raise MuPoWInvalid()
     mu = transcript.sample_ext()
 
     m = params.l_skip + params.n_stack
@@ -125,7 +134,7 @@ def verify_whir(
             transcript.observe_ext(ev2)
             pow_witness = next(folding_iter)
             if not transcript.check_witness(whir.folding_pow_bits, pow_witness):
-                raise WhirError("folding PoW invalid")
+                raise FoldingPoWInvalid(round=whir_round)
             alpha = transcript.sample_ext()
             alphas_round.append(alpha)
             ev0 = ext.esub(claim, ev1)
@@ -147,7 +156,7 @@ def verify_whir(
             whir.query_phase_pow_bits,
             whir_proof.query_phase_pow_witnesses[whir_round],
         ):
-            raise WhirError("query phase PoW invalid")
+            raise QueryPhasePoWInvalid(round=whir_round)
 
         num_queries = whir.rounds[whir_round].num_queries
         indices = [transcript.sample_bits(log_rs - k) for _ in range(num_queries)]
@@ -210,7 +219,7 @@ def verify_whir(
         log_rs -= 1
 
     if len(whir_proof.final_poly) != 1 << params.log_final_poly_len():
-        raise WhirError("final poly has wrong degree")
+        raise FinalPolyDegree()
 
     t = k * num_rounds
     final_poly = np.stack(whir_proof.final_poly)
@@ -257,7 +266,7 @@ def verify_whir(
         j += k
 
     if not ext.eeq(acc, claim):
-        raise WhirError("final polynomial constraint failed")
+        raise FinalPolyConstraint()
 
 
 def _pows_of_2_ext(z: np.ndarray, count: int):
