@@ -28,9 +28,20 @@ from .debug import check_constraints_and_interactions
 
 
 class StarkEngine:
-    def __init__(self, params: SystemParams, prover_config=None):
+    """``hash_scheme`` selects the Fiat-Shamir/commitment hash (reference
+    ``cuda-backend/src/hash_scheme.rs``): default BabyBear Poseidon2-16
+    (inner proofs), or ``"bn254-outer"`` for the outer-recursion scheme
+    (``stark-sdk/src/config/baby_bear_bn254_poseidon2.rs``). The outer
+    scheme proves on the host path (eager device compute, host BN254
+    Merkle/transcript) — outer traces are tiny by construction."""
+
+    def __init__(self, params: SystemParams, prover_config=None, hash_scheme=None):
+        from .hash.scheme import get_scheme
+
         self.params = params
+        self.scheme = get_scheme(hash_scheme)
         self.backend = JaxBackend(params, prover_config)
+        self.backend.tree_builder = self.scheme.tree_builder()
 
     def proving_memory_config(self):
         """HBM peak model for segmentation decisions (cf. reference
@@ -51,6 +62,8 @@ class StarkEngine:
         self, airs: List[Air], required: Optional[List[bool]] = None
     ) -> Tuple[MultiStarkProvingKey, MultiStarkVerifyingKey]:
         builder = MultiStarkKeygenBuilder(self.params, self.backend.keygen_committer())
+        if self.scheme.name != "babybear-poseidon2":
+            builder.pre_hasher = self.scheme.pre_hash
         for i, air in enumerate(airs):
             if required and required[i]:
                 builder.add_required_air(air)
@@ -92,7 +105,9 @@ class StarkEngine:
         ctx: ProvingContext,
         transcript: Optional[Transcript] = None,
     ) -> Proof:
-        coordinator = Coordinator(self.backend, transcript or Transcript())
+        coordinator = Coordinator(
+            self.backend, transcript or self.scheme.new_transcript()
+        )
         return coordinator.prove(dpk, ctx)
 
     def verify(
@@ -101,7 +116,7 @@ class StarkEngine:
         proof: Proof,
         transcript: Optional[Transcript] = None,
     ) -> None:
-        verify_proof(self.params, vk, proof, transcript)
+        verify_proof(self.params, vk, proof, transcript, scheme=self.scheme)
 
     def debug(self, airs: List[Air], pk: MultiStarkProvingKey, ctx: ProvingContext):
         """Host-side row-by-row constraint + interaction balance checks."""

@@ -222,14 +222,19 @@ def compute_vk_pre_hash(
     params: SystemParams,
     vks: Sequence[StarkVerifyingKey],
     constraints: Sequence[LinearConstraint],
+    pre_hasher=None,
 ) -> np.ndarray:
     """Reference-parity weak-FS pre-hash (``keygen/mod.rs:198-216``):
     hash_slice over the bytes of ``CODEC_VERSION (4 LE) ++ u64 LE length ++
-    postcard(pre_vk)``, each byte lifted to a field element."""
+    postcard(pre_vk)``, each byte lifted to a field element. ``pre_hasher``
+    overrides the hash for the outer BN254 scheme
+    (``hasher.rs`` MultiFieldHasher path)."""
     from .postcard_vk import versioned_pre_vk_bytes
 
     data = versioned_pre_vk_bytes(params, vks, constraints)
     elems = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    if pre_hasher is not None:
+        return pre_hasher(elems)
     return hash_slice_np(elems)
 
 
@@ -244,6 +249,7 @@ class MultiStarkKeygenBuilder:
     def __init__(self, params: SystemParams, committer):
         self.params = params
         self.committer = committer
+        self.pre_hasher = None  # hash-scheme hook (swirl/hash/scheme.py)
         self._airs: List[Tuple[Air, bool]] = []
 
     def add_air(self, air: Air) -> int:
@@ -274,7 +280,9 @@ class MultiStarkKeygenBuilder:
             )
         vks = [pk.vk for pk in per_air]
         constraints = synthesize_trace_height_constraints(vks, self.params)
-        pre_hash = compute_vk_pre_hash(self.params, vks, constraints)
+        pre_hash = compute_vk_pre_hash(
+            self.params, vks, constraints, pre_hasher=self.pre_hasher
+        )
         return MultiStarkProvingKey(
             params=self.params,
             per_air=per_air,

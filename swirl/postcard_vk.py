@@ -208,8 +208,14 @@ def _vk(w: _W, vk):
         w.byte(0)
     else:
         w.byte(1)
-        for d in np.asarray(prep.commit).reshape(8):
-            w.felt(int(d))
+        if isinstance(prep.commit, (int, np.integer)):
+            # outer BN254 digest: one scalar, 32 LE bytes (halo2curves Fr
+            # postcard serde; hash_scheme.rs outer digest type)
+            for b in int(prep.commit).to_bytes(32, "little"):
+                w.byte(b)
+        else:
+            for d in np.asarray(prep.commit).reshape(8):
+                w.felt(int(d))
         w.zigzag(prep.hypercube_dim)
         w.varint(prep.stacking_width)
     tw = vk.params.width

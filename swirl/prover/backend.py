@@ -124,6 +124,9 @@ class JaxBackend:
         self.config = config or ProverConfig()
         if self.config.zerocheck_save_memory is None:
             self.config.zerocheck_save_memory = params.log_blowup == 1
+        # hash-scheme hook (swirl/hash/scheme.py): None = device Poseidon2
+        # Merkle path; the outer BN254 scheme installs a host tree builder
+        self.tree_builder = None
 
     # -- commitment ----------------------------------------------------------
 
@@ -133,6 +136,7 @@ class JaxBackend:
             p.l_skip, p.n_stack, p.log_blowup, p.k_whir, traces,
             cache_stacked_matrix=self.config.cache_stacked_matrix,
             cache_rs_code_matrix=self.config.cache_rs_code_matrix,
+            tree_builder=self.tree_builder,
         )
 
     def commit_single(self, trace_host: np.ndarray) -> CommittedTraceData:
@@ -290,7 +294,8 @@ class Coordinator:
 
         with metrics.span("prove_whir"):
             whir_proof = prove_whir_opening(
-                transcript, params, stacked_per_commit, u_cube
+                transcript, params, stacked_per_commit, u_cube,
+                tree_builder=self.backend.tree_builder,
             )
 
         return Proof(

@@ -231,12 +231,30 @@ def stacked_commit(
     traces: Sequence[jnp.ndarray],
     cache_stacked_matrix: bool = True,
     cache_rs_code_matrix: bool = True,
+    tree_builder=None,
 ) -> Tuple[np.ndarray, StackedPcsData]:
-    """Commit to a height-sorted collection of traces; returns (root, data)."""
+    """Commit to a height-sorted collection of traces; returns (root, data).
+
+    ``tree_builder`` (hash-scheme hook, ``swirl/hash/scheme.py``): when set,
+    ``(rs_matrix, rows_per_query, ext) -> (root, tree)`` replaces the device
+    Poseidon2 Merkle build — the outer BN254 scheme commits on host."""
     from .vmode import vm
 
     stacked, layout = stack_traces(l_skip, n_stack, traces)
     rs = rs_code_matrix(l_skip, log_blowup, stacked)
+    if tree_builder is not None:
+        root, tree = tree_builder(rs, 1 << k_whir, False)
+        data = StackedPcsData(
+            layout=layout,
+            matrix=stacked if cache_stacked_matrix else None,
+            rs_matrix=rs if cache_rs_code_matrix else None,
+            tree=tree,
+            traces=list(traces),
+            l_skip=l_skip,
+            n_stack=n_stack,
+            log_blowup=log_blowup,
+        )
+        return root, data
     tree = build_merkle_tree(rs, 1 << k_whir)
     data = StackedPcsData(
         layout=layout,

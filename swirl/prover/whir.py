@@ -52,7 +52,11 @@ def prove_whir_opening(
     params: SystemParams,
     committed: Sequence[StackedPcsData],
     u: List[np.ndarray],
+    tree_builder=None,
 ) -> WhirProof:
+    """``tree_builder`` (hash-scheme hook): when set, ``(matrix_dev,
+    rows_per_query, ext) -> (root, tree)`` replaces the device Poseidon2
+    Merkle build for codeword commits (outer BN254 scheme)."""
     v = vm()
     whir = params.whir
     l_skip = params.l_skip
@@ -141,8 +145,11 @@ def prove_whir_opening(
                 axis=0,
             )
             g_rs = ntt(padded[None], ext=True)  # (1, H, 4)
-            g_tree = build_merkle_tree(g_rs, 1 << k, ext=True)
-            g_commit = v.f(g_tree.layers[-1][:, 0])
+            if tree_builder is None:
+                g_tree = build_merkle_tree(g_rs, 1 << k, ext=True)
+                g_commit = v.f(g_tree.layers[-1][:, 0])
+            else:
+                g_commit, g_tree = tree_builder(g_rs, 1 << k, True)
             transcript.observe_commit(g_commit)
             codeword_commits.append(g_commit)
 

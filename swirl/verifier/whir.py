@@ -34,23 +34,34 @@ from .errors import (
 __all__ = ["WhirError", "verify_whir", "merkle_verify", "binary_k_fold"]
 
 
-def merkle_verify(root, idx: int, leaf_hash, proof: Sequence[np.ndarray]):
+def _default_digest_eq(a, b) -> bool:
+    return np.array_equal(np.asarray(a) % U64(P), np.asarray(b) % U64(P))
+
+
+def merkle_verify(
+    root,
+    idx: int,
+    leaf_hash,
+    proof: Sequence[np.ndarray],
+    compress=compress_np,
+    digest_eq=_default_digest_eq,
+):
     cur = leaf_hash
     for sibling in proof:
         if idx & 1 == 0:
-            cur = compress_np(cur, sibling)
+            cur = compress(cur, sibling)
         else:
-            cur = compress_np(sibling, cur)
+            cur = compress(sibling, cur)
         idx >>= 1
-    if not np.array_equal(np.asarray(cur) % U64(P), np.asarray(root) % U64(P)):
+    if not digest_eq(cur, root):
         raise MerkleVerify(context="path recomputation")
 
 
-def tree_compress(hashes: List[np.ndarray]):
+def tree_compress(hashes: List[np.ndarray], compress=compress_np):
     assert len(hashes) & (len(hashes) - 1) == 0
     while len(hashes) > 1:
         hashes = [
-            compress_np(hashes[2 * i], hashes[2 * i + 1])
+            compress(hashes[2 * i], hashes[2 * i + 1])
             for i in range(len(hashes) // 2)
         ]
     return hashes[0]
@@ -96,7 +107,18 @@ def verify_whir(
     stacking_openings,
     commitments: List[np.ndarray],
     u: List[np.ndarray],
+    scheme=None,
 ):
+    """``scheme`` (swirl/hash/scheme.py) selects the Merkle hash family;
+    None = inner BabyBear Poseidon2-16."""
+    if scheme is None or scheme.name == "babybear-poseidon2":
+        _hash, _compress, _eq = hash_slice_np, compress_np, _default_digest_eq
+    else:
+        _hash, _compress, _eq = (
+            scheme.hash_slice,
+            scheme.compress,
+            scheme.digest_eq,
+        )
     whir = params.whir
     widths = [len(v) for v in stacking_openings]
 
@@ -172,14 +194,16 @@ def verify_whir(
                 for c_idx, commit in enumerate(commitments):
                     opened_rows = whir_proof.initial_round_opened_rows[c_idx][q_idx]
                     leaf_hashes = [
-                        hash_slice_np(opened_rows[t]) for t in range(1 << k)
+                        _hash(opened_rows[t]) for t in range(1 << k)
                     ]
-                    query_digest = tree_compress(leaf_hashes)
+                    query_digest = tree_compress(leaf_hashes, _compress)
                     merkle_verify(
                         commit,
                         index,
                         query_digest,
                         whir_proof.initial_round_merkle_proofs[c_idx][q_idx],
+                        _compress,
+                        _eq,
                     )
                     for c in range(widths[c_idx]):
                         mp = mu_pows[mu_i]
@@ -193,14 +217,16 @@ def verify_whir(
             else:
                 opened = whir_proof.codeword_opened_values[whir_round - 1][q_idx]
                 leaf_hashes = [
-                    hash_slice_np(opened[t].reshape(-1)) for t in range(1 << k)
+                    _hash(opened[t].reshape(-1)) for t in range(1 << k)
                 ]
-                query_digest = tree_compress(leaf_hashes)
+                query_digest = tree_compress(leaf_hashes, _compress)
                 merkle_verify(
                     whir_proof.codeword_commits[whir_round - 1],
                     index,
                     query_digest,
                     whir_proof.codeword_merkle_proofs[whir_round - 1][q_idx],
+                    _compress,
+                    _eq,
                 )
                 yi = binary_k_fold(np.asarray(opened), alphas_round, zi_root)
             zs_round.append(zi)
