@@ -15,10 +15,12 @@ import json
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 
-LOG_N = 20
-REPEATS = 8
+import os
+
+LOG_N = int(os.environ.get("SWIRL_FIELDS_LOG_N", "20"))
+REPEATS = int(os.environ.get("SWIRL_FIELDS_REPEATS", "8"))
 
 
 def _timed_chain(op, x, reps):
@@ -56,6 +58,12 @@ def _timed_chain(op, x, reps):
 
 def main() -> int:
     import numpy as np
+    import jax
+
+    # sitecustomize (axon) can silently override JAX_PLATFORMS=cpu from the
+    # command environment; in-script config is the only reliable force-CPU
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from swirl.fields import jfield as jf
@@ -72,6 +80,25 @@ def main() -> int:
         jf.const_arr(rng.integers(0, P, (n // 16, 16), dtype=np.uint64))
     )
 
+    from swirl.fields.generic import (
+        Goldilocks,
+        Goldilocks3,
+        bb5,
+        bb6,
+        kb5,
+        kb6,
+        koalabear,
+        GL_P,
+    )
+
+    kb_base = koalabear.to_monty(rng.integers(1, koalabear.p, n, dtype=np.uint64))
+    kb5_v = kb5.to_monty(rng.integers(1, koalabear.p, (5, n // 8), dtype=np.uint64))
+    kb6_v = kb6.to_monty(rng.integers(1, koalabear.p, (6, n // 8), dtype=np.uint64))
+    bb5_v = bb5.to_monty(rng.integers(1, P, (5, n // 8), dtype=np.uint64))
+    bb6_v = bb6.to_monty(rng.integers(1, P, (6, n // 8), dtype=np.uint64))
+    gl = Goldilocks.to_dev(rng.integers(1, GL_P, n // 2, dtype=np.uint64))
+    gl3 = Goldilocks3.to_dev(rng.integers(1, GL_P, (3, n // 8), dtype=np.uint64))
+
     cases = [
         ("babybear_mul", lambda v: jf.mul(v, v), base, n),
         ("babybear_add", lambda v: jf.add(v, v), base, n),
@@ -84,6 +111,18 @@ def main() -> int:
             state,
             n // 16,
         ),
+        # field zoo (reference benchmarks/fields parity): KoalaBear,
+        # BabyBear fp5/fp6, Goldilocks base + cubic
+        ("koalabear_mul", lambda v: koalabear.mul(v, v), kb_base, n),
+        ("koalabear_add", lambda v: koalabear.add(v, v), kb_base, n),
+        ("koalabear_inv", lambda v: koalabear.inv(v), kb_base, n),
+        ("bb5_mul", lambda v: bb5.mul(v, v), bb5_v, n // 8),
+        ("bb6_mul", lambda v: bb6.mul(v, v), bb6_v, n // 8),
+        ("kb5_mul", lambda v: kb5.mul(v, v), kb5_v, n // 8),
+        ("kb6_mul", lambda v: kb6.mul(v, v), kb6_v, n // 8),
+        ("goldilocks_mul", lambda v: Goldilocks.mul(v, v), gl, n // 2),
+        ("goldilocks_add", lambda v: Goldilocks.add(v, v), gl, n // 2),
+        ("gl3_mul", lambda v: Goldilocks3.mul(v, v), gl3, n // 8),
     ]
     for name, op, x, count in cases:
         dt = _timed_chain(op, x, REPEATS)
