@@ -388,14 +388,47 @@ def main():
             banked = line
             print(banked, flush=True)
 
-    # Segmented e2e first (fastest warm prove), with enough budget held back
-    # for one eager-mode attempt: eager needs NO whole-stage compiles, so it
-    # still lands an e2e number when the remote compile service is slow or
-    # wedged for big programs (observed on the tunneled dev chip).
+    # Segmented e2e (fastest warm prove) vs eager (needs NO whole-stage
+    # compiles, so it lands when the remote compile service wedges on big
+    # programs — observed r3+r4: stage compiles take 15-30 min each or hang
+    # indefinitely). Ordering: if the PREVIOUS round's bench failed
+    # outright, run eager FIRST — bank the reliable e2e number before
+    # spending anything on speculative stage compiles (r3 postmortem).
+    def _last_round_failed() -> bool:
+        import glob
+
+        paths = sorted(glob.glob(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+        if not paths:
+            return False
+        try:
+            with open(paths[-1]) as f:
+                return "bench_failed" in f.read()
+        except OSError:
+            return False
+
+    def try_eager(budget):
+        return _run_stage(
+            "e2e",
+            budget,
+            {
+                "SWIRL_BENCH_LOG_ROWS": LOG_ROWS,
+                "SWIRL_BENCH_MODE": "eager",
+                "SWIRL_BENCH_REPEATS": "1",
+            },
+        )
+
     eager_reserve = min(
         float(os.environ.get("SWIRL_BENCH_EAGER_RESERVE_S", "900")),
         total_budget / 2.0,
     )
+    eager_line = None
+    if _last_round_failed() and left() > 60.0:
+        eager_line = try_eager(min(eager_reserve, left() - 10.0))
+        if eager_line is not None:
+            print(eager_line, flush=True)  # banked; segmented may supersede
+            eager_reserve = 0.0
+
     while left() > 60.0 + eager_reserve:
         line = _run_stage(
             "e2e",
@@ -406,19 +439,13 @@ def main():
             print(line)
             return 0
 
-    if left() > 60.0:
-        line = _run_stage(
-            "e2e",
-            left() - 10.0,
-            {
-                "SWIRL_BENCH_LOG_ROWS": LOG_ROWS,
-                "SWIRL_BENCH_MODE": "eager",
-                "SWIRL_BENCH_REPEATS": "1",
-            },
-        )
+    if eager_line is None and left() > 60.0:
+        line = try_eager(left() - 10.0)
         if line is not None:
             print(line)
             return 0
+    if eager_line is not None:
+        return 0
 
     if banked is not None:
         return 0

