@@ -400,6 +400,20 @@ def _fused_fn(backend, mpk, ctx, jit: bool = True, mesh=None):
         leaves, treedef = jax.tree_util.tree_flatten(plain)
         meta["treedef"] = treedef
         meta["shapes"] = [jnp.shape(l) for l in leaves]
+        if not any(isinstance(l, jax.core.Tracer) for l in leaves):
+            # eager mode: leaves are a mix of device arrays and host numpy
+            # (stage drivers assemble protocol-small values host-side).
+            # Fetch the device ones in ONE batched device_get and
+            # concatenate on host — uploading ~10^3 small host leaves just
+            # to concatenate and fetch them back costs a relay dispatch
+            # each.
+            leaves = jax.device_get(leaves)
+            flat = [np.ravel(np.asarray(l, np.uint32)) for l in leaves]
+            return (
+                np.concatenate(flat)
+                if flat
+                else np.zeros((0,), np.uint32)
+            )
         flat = [jnp.ravel(jnp.asarray(l, jnp.uint32)) for l in leaves]
         return jnp.concatenate(flat) if flat else jnp.zeros((0,), jnp.uint32)
 

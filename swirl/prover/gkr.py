@@ -165,6 +165,79 @@ def _layer_scan_step_jit(n_pairs: int):
     return step
 
 
+EF_D_ = 4
+
+
+@lru_cache(maxsize=None)
+def _layer_full_jit(rnd: int, head: int, entry_si: int):
+    """ONE jitted program for an entire GKR layer: sample lambda, build the
+    eq table, run `head` unrolled full-rate sub-rounds, scan the masked
+    tail, absorb the next layer's four claims, squeeze mu.
+
+    Bit-identical to the per-op sequence (``sample_ext``, per-sub-round
+    eval/observe_ext x3/sample_ext/fold, claims observe_ext x4,
+    ``sample_ext``): the duplex events are cursor-uniform, so the whole
+    layer's sponge schedule is static. The eager fused prover calls this
+    once per layer — ~10 relay dispatches collapse into one — and the
+    traced prover inlines the same body, so there is exactly one
+    definition of the layer schedule.
+
+    entry_si: transcript.sample_idx at layer entry (absorb_idx must be 0,
+    which every ``sample_ext`` guarantees).
+    """
+    from .device_transcript import _permute_jit, duplex_absorb_sample_ext
+    from .sumcheck import eq_hypercube_dev
+
+    @jax.jit
+    def layer(state, p_next, q_next, xi_stack):
+        # lam = sample_ext() at a static cursor
+        si = entry_si
+        if si < EF_D_:
+            state = _permute_jit()(state)
+            si = 8
+        lam_dev = jax.lax.slice(state, (si - EF_D_,), (si,))[::-1]
+
+        eq_tab = eq_hypercube_dev(xi_stack)
+        p0, p1v = _pair_split(p_next)
+        q0, q1v = _pair_split(q_next)
+        cols = (eq_tab, p0, q0, p1v, q1v)
+
+        head_evals = []
+        head_r = []
+        for _ in range(head):
+            evals3 = _gkr_round_evals(cols, lam_dev)
+            state, r = duplex_absorb_sample_ext(state, evals3.reshape(-1))
+            head_evals.append(evals3)
+            head_r.append(r)
+            cols = _gkr_fold(cols, r)
+        if head < rnd:
+            state, cols, tail_evals, tail_r = _layer_rounds_scan(
+                state, cols, lam_dev, rnd - head
+            )
+            evals_all = (
+                jnp.concatenate([jnp.stack(head_evals), tail_evals])
+                if head
+                else tail_evals
+            )
+            r_all = (
+                jnp.concatenate([jnp.stack(head_r), tail_r])
+                if head
+                else tail_r
+            )
+        else:
+            evals_all = jnp.stack(head_evals)
+            r_all = jnp.stack(head_r)
+
+        claims4 = jnp.stack(
+            [cols[1][0], cols[2][0], cols[3][0], cols[4][0]]
+        )
+        state, mu = duplex_absorb_sample_ext(state, claims4.reshape(-1))
+        xi_next = jnp.concatenate([mu[None], r_all])
+        return state, evals_all, claims4, xi_next
+
+    return layer
+
+
 def _layer_rounds_scan(state0, cols, lam_dev, num_subs: int):
     """All `num_subs` masked sub-rounds of one GKR layer as ONE lax.scan.
 
@@ -207,8 +280,12 @@ class FracSumcheckResult:
     xi: List[np.ndarray]
 
 
+@jax.jit
 def _combine_layer(p, q):
-    """(2^t, 4) -> (2^{t-1}, 4): projective fraction addition of pairs."""
+    """(2^t, 4) -> (2^{t-1}, 4): projective fraction addition of pairs.
+
+    Jitted: the segment-tree build calls this once per layer, so the eager
+    prover pays one dispatch per layer instead of ~8."""
     p0, p1 = _pair_split(p)
     q0, q1 = _pair_split(q)
     p_out = jf.ext_add(jf.ext_mul(p0, q1), jf.ext_mul(p1, q0))
@@ -261,6 +338,60 @@ def fractional_sumcheck(
 
     from .sumcheck import eq_hypercube_dev
 
+    if _scan_ok(transcript):
+        # device path: ONE jitted program per layer (the eager prover pays
+        # one relay dispatch per layer; the traced prover inlines it)
+        assert transcript.absorb_idx == 0
+        xi_stack = v.stack(xi_prev)
+        dev_evals: List = []
+        dev_claims: List = []
+        for rnd in range(1, total_rounds):
+            head = max(0, rnd - _TAIL_LOG)
+            fn = _layer_full_jit(rnd, head, transcript.sample_idx)
+            p_next, q_next = layers[rnd + 1]
+            state, evals_all, claims4, xi_stack = fn(
+                transcript.state, p_next, q_next, xi_stack
+            )
+            transcript.state = state
+            transcript.absorb_idx = 0
+            transcript.sample_idx = _EF_SAMPLE_IDX
+            dev_evals.append(evals_all)
+            dev_claims.append(claims4)
+
+        # proof assembly: in the eager prover the stacked outputs are
+        # concrete — fetch them in ONE device_get and slice with numpy
+        # (per-element jnp slicing was ~1000 relay dispatches); under an
+        # outer trace the slices are free symbolic ops
+        concrete = not isinstance(transcript.state, jax.core.Tracer)
+        if concrete and dev_evals:
+            dev_evals = jax.device_get(dev_evals)
+            dev_claims = jax.device_get(dev_claims)
+        for rnd_i, (evals_all, claims4) in enumerate(
+            zip(dev_evals, dev_claims)
+        ):
+            rnd = rnd_i + 1
+            sumcheck_polys.append(
+                [
+                    [_ef(evals_all[i, j]) for j in range(3)]
+                    for i in range(rnd)
+                ]
+            )
+            claims.append(
+                GkrLayerClaims(
+                    p_xi_0=_ef(claims4[0]),
+                    q_xi_0=_ef(claims4[1]),
+                    p_xi_1=_ef(claims4[2]),
+                    q_xi_1=_ef(claims4[3]),
+                )
+            )
+        xi_prev = [xi_stack[i] for i in range(int(xi_stack.shape[0]))]
+        return FracSumcheckResult(
+            fractional_sum=(root_p, root_q),
+            claims_per_layer=claims,
+            sumcheck_polys=sumcheck_polys,
+            xi=xi_prev,
+        )
+
     for rnd in range(1, total_rounds):
         lam = transcript.sample_ext()
         lam_dev = v.ef_dev(lam)
@@ -274,15 +405,10 @@ def fractional_sumcheck(
 
         round_polys: List[List[np.ndarray]] = []
         rho: List[np.ndarray] = []
-        # the five column MLEs stay SEPARATE (m, 4) arrays (see module
-        # docstring: a stacked (5, m, 4) batch gets the 5-axis on the TPU
-        # lanes); each sub-round is still TWO jitted calls (eval+fold)
         cols = tuple(jnp.asarray(c) for c in (eq_tab, p0, q0, p1v, q1v))
 
-        # head: unroll while the buffer is big (shapes shrink geometrically,
-        # so these few big sub-rounds carry ~all the FLOPs at full rate)
-        head = max(0, rnd - _TAIL_LOG) if _scan_ok(transcript) else rnd
-        for sub in range(head):
+        # host/spec path: fully unrolled eager numpy-backed replay
+        for sub in range(rnd):
             evals3 = _gkr_round_evals(cols, jnp.asarray(lam_dev))
             evals_at = [_ef(evals3[i]) for i in range(3)]
             for c in evals_at:
@@ -292,19 +418,6 @@ def fractional_sumcheck(
             rho.append(r_sub)
             r_dev = v.ef_dev(r_sub)
             cols = _gkr_fold(cols, jnp.asarray(r_dev))
-
-        # tail: one masked lax.scan body per layer (bit-identical events)
-        if head < rnd:
-            assert transcript.absorb_idx == 0
-            state, cols, evals_all, r_all = _layer_rounds_scan(
-                transcript.state, cols, jnp.asarray(lam_dev), rnd - head
-            )
-            transcript.state = state
-            transcript.absorb_idx = 0
-            transcript.sample_idx = _EF_SAMPLE_IDX
-            for i in range(rnd - head):
-                round_polys.append([_ef(evals_all[i, j]) for j in range(3)])
-                rho.append(_ef(r_all[i]))
 
         cl = GkrLayerClaims(
             p_xi_0=_ef(cols[1][0]),

@@ -389,6 +389,12 @@ def _mle_rounds_scan(
     transcript.absorb_idx = 0
     transcript.sample_idx = RATE - EF_D
 
+    if not isinstance(state, jax.core.Tracer):
+        # eager fused prover: ONE fetch, then numpy slicing (the per-element
+        # jnp slices below are ~8 relay dispatches per scanned round)
+        evals_all, r_all, eq_n_all, eq_sharp_all = jax.device_get(
+            (evals_all, r_all, eq_n_all, eq_sharp_all)
+        )
     for j in range(L):
         polys_out.append([v.ef(evals_all[j, i]) for i in range(s_deg)])
         r_out.append(v.ef(r_all[j]))
@@ -1142,40 +1148,94 @@ def prove_batch_phase(
 
     # ---- column openings ----------------------------------------------------
     column_openings: List[List[List[np.ndarray]]] = []
-    for t in traces:
-        all_pairs = ([t.prep_pair] if t.prep_pair else []) + t.main_pairs
-        part_openings = []
-        for local, nxt in all_pairs:
-            lh = v.ef(local[:, 0])  # (w, 4)
-            if t.needs_next:
-                nh = v.ef(nxt[:, 0])
-                flat = []
-                for c in range(lh.shape[0]):
-                    flat.extend([lh[c], nh[c]])
-            else:
-                flat = [lh[c] for c in range(lh.shape[0])]
-            part_openings.append(flat)
-        # reorder: common main first, then preprocessed, then cached
-        common = part_openings[-1]
-        rest = part_openings[:-1]
-        column_openings.append([common] + rest)
+    if _scan_ok(transcript):
+        # Device path: the absorb sequence is per column (claim, rot-claim
+        # or zeros) — exactly one flat interleaved vector per part, so ONE
+        # ``observe_slice`` absorbs everything through the rate-block
+        # lax.scan instead of ~2 dispatches per column. Bit-identical felt
+        # order; proof assembly slices a single fetched copy.
+        parts_dev = []
+        for t in traces:
+            all_pairs = ([t.prep_pair] if t.prep_pair else []) + t.main_pairs
+            parts_dev.append(
+                [
+                    (
+                        local[:, 0],
+                        nxt[:, 0] if t.needs_next else None,
+                    )
+                    for local, nxt in all_pairs
+                ]
+            )
 
-    # observe: all common-main openings first, then other parts per trace
-    for t_idx, t in enumerate(traces):
-        from ..proof import column_openings_by_rot
+        def interleave(lh, nh):
+            if nh is None:
+                nh = jnp.zeros_like(lh)
+            return jnp.stack([lh, nh], axis=1).reshape(-1)
 
-        for claim, claim_rot in column_openings_by_rot(
-            column_openings[t_idx][0], t.needs_next
-        ):
-            transcript.observe_ext(claim)
-            transcript.observe_ext(claim_rot)
-    for t_idx, t in enumerate(traces):
-        from ..proof import column_openings_by_rot
+        flats = [interleave(*parts_dev[t_idx][-1]) for t_idx in range(num_traces)]
+        for t_idx in range(num_traces):
+            flats.extend(interleave(*p) for p in parts_dev[t_idx][:-1])
+        if flats:
+            transcript.observe_slice(jnp.concatenate(flats))
 
-        for part in column_openings[t_idx][1:]:
-            for claim, claim_rot in column_openings_by_rot(part, t.needs_next):
+        concrete = not any(
+            isinstance(x, jax.core.Tracer)
+            for p in parts_dev
+            for lh, _ in p
+            for x in [lh]
+        )
+        parts_h = jax.device_get(parts_dev) if concrete else parts_dev
+        for t_idx, t in enumerate(traces):
+            part_openings = []
+            for lh, nh in parts_h[t_idx]:
+                if t.needs_next:
+                    flat = []
+                    for c in range(lh.shape[0]):
+                        flat.extend([lh[c], nh[c]])
+                else:
+                    flat = [lh[c] for c in range(lh.shape[0])]
+                part_openings.append(flat)
+            # reorder: common main first, then preprocessed, then cached
+            common = part_openings[-1]
+            rest = part_openings[:-1]
+            column_openings.append([common] + rest)
+    else:
+        for t in traces:
+            all_pairs = ([t.prep_pair] if t.prep_pair else []) + t.main_pairs
+            part_openings = []
+            for local, nxt in all_pairs:
+                lh = v.ef(local[:, 0])  # (w, 4)
+                if t.needs_next:
+                    nh = v.ef(nxt[:, 0])
+                    flat = []
+                    for c in range(lh.shape[0]):
+                        flat.extend([lh[c], nh[c]])
+                else:
+                    flat = [lh[c] for c in range(lh.shape[0])]
+                part_openings.append(flat)
+            # reorder: common main first, then preprocessed, then cached
+            common = part_openings[-1]
+            rest = part_openings[:-1]
+            column_openings.append([common] + rest)
+
+        # observe: all common-main openings first, then other parts per trace
+        for t_idx, t in enumerate(traces):
+            from ..proof import column_openings_by_rot
+
+            for claim, claim_rot in column_openings_by_rot(
+                column_openings[t_idx][0], t.needs_next
+            ):
                 transcript.observe_ext(claim)
                 transcript.observe_ext(claim_rot)
+        for t_idx, t in enumerate(traces):
+            from ..proof import column_openings_by_rot
+
+            for part in column_openings[t_idx][1:]:
+                for claim, claim_rot in column_openings_by_rot(
+                    part, t.needs_next
+                ):
+                    transcript.observe_ext(claim)
+                    transcript.observe_ext(claim_rot)
 
     batch_proof = BatchConstraintProof(
         numerator_term_per_air=numerator_term_per_air,
