@@ -48,10 +48,19 @@ def replay_reth(args) -> int:
 
     segments = load_segment_atlas(args.reth_atlas, args.max_log_height)
     total = len(segments)
-    n = math.ceil(total * args.sample_frac)
-    idxs = list(range(total))
-    random.Random(args.seed).shuffle(idxs)
-    sample = sorted(idxs[:n])
+    if args.segment_idx is not None:
+        # replay exactly these segments (atlas segment_idx values) — used
+        # for compile-once per-segment replays spread across rounds on the
+        # tunneled dev chip, where a full tier in one process is infeasible
+        want = {int(x) for x in args.segment_idx.split(",")}
+        sample = [
+            i for i, s in enumerate(segments) if s["segment_idx"] in want
+        ]
+    else:
+        n = math.ceil(total * args.sample_frac)
+        idxs = list(range(total))
+        random.Random(args.seed).shuffle(idxs)
+        sample = sorted(idxs[:n])
 
     params = app_params_with_100_bits_security(args.max_log_height)
     results = []
@@ -132,6 +141,9 @@ def main() -> int:
     ap.add_argument("--repeats", type=int, default=1)
     ap.add_argument("--reth-atlas", help="segment atlas JSON (benchmarks/reth_atlas.py)")
     ap.add_argument("--sample-frac", type=float, default=0.1)
+    ap.add_argument("--segment-idx",
+                    help="comma-separated atlas segment_idx list to replay "
+                         "(overrides --sample-frac)")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--max-log-height", type=int, default=22)
     ap.add_argument("--out", help="write scorecard JSON here instead of stdout only")
