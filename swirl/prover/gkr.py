@@ -37,9 +37,14 @@ from .vmode import vm
 
 
 def _pair_split(col):
-    """(m, 4) -> even/odd element pairs as two (m/2, 4) views."""
-    v = col.reshape(-1, 2, 4)
-    return v[:, 0], v[:, 1]
+    """(m, 4) -> even/odd element pairs as two (m/2, 4) views.
+
+    Stride-2 slices on dim0, NOT ``reshape(-1, 2, 4)`` + index: the 3-D
+    form materializes (m, 1, 4) temps that XLA:TPU tiles T(1,128) with the
+    4-axis minor — 32x padding (observed as a 20 GB compile-time HBM
+    requirement for a 256 MB layer combine). Keeping every intermediate
+    (m, 4) preserves the big-axis-minor layout rule."""
+    return col[0::2], col[1::2]
 
 
 @jax.jit
@@ -169,6 +174,51 @@ EF_D_ = 4
 
 
 @lru_cache(maxsize=None)
+def _absorb16_sample_jit():
+    from .device_transcript import duplex_absorb_sample_ext
+
+    @jax.jit
+    def f(state, claims4):
+        return duplex_absorb_sample_ext(state, claims4.reshape(-1))
+
+    return f
+
+
+def _layer_big(transcript, rnd, head, p_next, q_next, xi_stack):
+    """Per-op variant of :func:`_layer_full_jit` for layers above the scan
+    threshold: head sub-rounds run as separate jitted eval/fold calls on
+    the full-size buffers (per-op layouts are proven on this chip; one big
+    program at these sizes has hit 32x tile padding), the tail as the
+    masked scan. Identical duplex schedule and stacked outputs."""
+    from .sumcheck import eq_hypercube_dev
+
+    lam_dev = jnp.asarray(transcript.sample_ext())
+    eq_tab = eq_hypercube_dev(xi_stack)
+    p0, p1v = _pair_split(p_next)
+    q0, q1v = _pair_split(q_next)
+    cols = (eq_tab, p0, q0, p1v, q1v)
+    head_evals, head_r = [], []
+    for _ in range(head):
+        evals3 = _gkr_round_evals(cols, lam_dev)
+        # same duplex events as observe_ext x3 + sample_ext
+        transcript.observe_slice(jnp.ravel(evals3))
+        r = jnp.asarray(transcript.sample_ext())
+        head_evals.append(evals3)
+        head_r.append(r)
+        cols = _gkr_fold(cols, r)
+    assert transcript.absorb_idx == 0
+    state, cols, tail_evals, tail_r = _layer_rounds_scan(
+        transcript.state, cols, lam_dev, rnd - head
+    )
+    evals_all = jnp.concatenate([jnp.stack(head_evals), tail_evals])
+    r_all = jnp.concatenate([jnp.stack(head_r), tail_r])
+    claims4 = jnp.stack([cols[1][0], cols[2][0], cols[3][0], cols[4][0]])
+    state, mu = _absorb16_sample_jit()(state, claims4)
+    xi_next = jnp.concatenate([mu[None], r_all])
+    return state, evals_all, claims4, xi_next
+
+
+@lru_cache(maxsize=None)
 def _layer_full_jit(rnd: int, head: int, entry_si: int):
     """ONE jitted program for an entire GKR layer: sample lambda, build the
     eq table, run `head` unrolled full-rate sub-rounds, scan the masked
@@ -280,17 +330,20 @@ class FracSumcheckResult:
     xi: List[np.ndarray]
 
 
-@jax.jit
-def _combine_layer(p, q):
-    """(2^t, 4) -> (2^{t-1}, 4): projective fraction addition of pairs.
-
-    Jitted: the segment-tree build calls this once per layer, so the eager
-    prover pays one dispatch per layer instead of ~8."""
+def _combine_layer_impl(p, q):
+    """(2^t, 4) -> (2^{t-1}, 4): projective fraction addition of pairs."""
     p0, p1 = _pair_split(p)
     q0, q1 = _pair_split(q)
     p_out = jf.ext_add(jf.ext_mul(p0, q1), jf.ext_mul(p1, q0))
     q_out = jf.ext_mul(q0, q1)
     return p_out, q_out
+
+
+# jitted: one eager dispatch per tree level instead of ~8; the build loop
+# falls back to per-op dispatch above 2^21 entries, where a single compiled
+# program has hit pathological 32x tile padding on this chip
+_combine_layer = jax.jit(_combine_layer_impl)
+_COMBINE_JIT_MAX = 1 << 21
 
 
 def _ef(x):
@@ -312,7 +365,12 @@ def fractional_sumcheck(
     # build the layer stack: layers[t] has 2^t fractions; layers[total]=input
     layers = [(jnp.asarray(p_evals), jnp.asarray(q_evals))]
     while layers[-1][0].shape[0] > 1:
-        layers.append(_combine_layer(*layers[-1]))
+        fn = (
+            _combine_layer
+            if layers[-1][0].shape[0] <= _COMBINE_JIT_MAX
+            else _combine_layer_impl
+        )
+        layers.append(fn(*layers[-1]))
     layers.reverse()  # layers[t] now has 2^t entries
 
     root_p, root_q = _ef(layers[0][0][0]), _ef(layers[0][1][0])
@@ -340,18 +398,27 @@ def fractional_sumcheck(
 
     if _scan_ok(transcript):
         # device path: ONE jitted program per layer (the eager prover pays
-        # one relay dispatch per layer; the traced prover inlines it)
+        # one relay dispatch per layer; the traced prover inlines it). The
+        # few layers ABOVE the scan tail threshold keep the per-op head
+        # path: their (>= 2^_TAIL_LOG, 4) buffers are where XLA's layout
+        # assignment has historically gone 32x-padded inside larger fused
+        # programs, and two layers' worth of eager dispatches is cheap.
         assert transcript.absorb_idx == 0
         xi_stack = v.stack(xi_prev)
         dev_evals: List = []
         dev_claims: List = []
         for rnd in range(1, total_rounds):
             head = max(0, rnd - _TAIL_LOG)
-            fn = _layer_full_jit(rnd, head, transcript.sample_idx)
             p_next, q_next = layers[rnd + 1]
-            state, evals_all, claims4, xi_stack = fn(
-                transcript.state, p_next, q_next, xi_stack
-            )
+            if head == 0:
+                fn = _layer_full_jit(rnd, head, transcript.sample_idx)
+                state, evals_all, claims4, xi_stack = fn(
+                    transcript.state, p_next, q_next, xi_stack
+                )
+            else:
+                state, evals_all, claims4, xi_stack = _layer_big(
+                    transcript, rnd, head, p_next, q_next, xi_stack
+                )
             transcript.state = state
             transcript.absorb_idx = 0
             transcript.sample_idx = _EF_SAMPLE_IDX
