@@ -81,6 +81,27 @@ def _grind_batch_jit(absorb_idx: int, sample_idx: int, bits: int, batch: int):
     return step
 
 
+@lru_cache(maxsize=None)
+def _sample_bits_batch_jit(absorb_idx: int, sample_idx: int, bits: int, n: int):
+    """n sequential duplex squeezes (static cursor schedule) + bit masks."""
+    mask = np.uint32((1 << bits) - 1)
+
+    @jax.jit
+    def f(state):
+        permute = _permute_jit()
+        a, s = absorb_idx, sample_idx
+        outs = []
+        for _ in range(n):
+            if a != 0 or s == 0:
+                state = permute(state)
+                a, s = 0, RATE
+            s -= 1
+            outs.append(jf.to_u32(state[s]) & mask)
+        return state, jnp.stack(outs)
+
+    return f
+
+
 def duplex_absorb_sample_ext(state, flat):
     """Traced helper for scan-tier sumcheck bodies: from ``absorb_idx == 0``
     absorb `flat` (F,) Monty felts in overwrite-duplex chunks, then squeeze
@@ -237,6 +258,26 @@ class DeviceTranscript:
     def sample_bits(self, bits: int):
         assert 0 <= bits < 32 and (1 << bits) < P
         return jf.to_u32(self.sample()) & jnp.uint32((1 << bits) - 1)
+
+    def sample_bits_batch(self, bits: int, n: int):
+        """``n`` consecutive :meth:`sample_bits` as ONE jitted program.
+
+        Bit-identical squeeze/permute schedule; returns an (n,) canonical
+        uint32 array. The WHIR query phase samples ~100 indices per round —
+        per-sample squeezes were ~2 relay dispatches each in the eager
+        prover."""
+        assert 0 <= bits < 32 and (1 << bits) < P
+        if n == 0:
+            return jnp.zeros((0,), jnp.uint32)
+        fn = _sample_bits_batch_jit(self.absorb_idx, self.sample_idx, bits, n)
+        self.state, out = fn(self.state)
+        a, s = self.absorb_idx, self.sample_idx
+        for _ in range(n):
+            if a != 0 or s == 0:
+                a, s = 0, RATE
+            s -= 1
+        self.absorb_idx, self.sample_idx = a, s
+        return out
 
     # -- proof of work --------------------------------------------------------
 

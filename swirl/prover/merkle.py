@@ -90,7 +90,7 @@ class MerkleTree:
         nq*depth separate digest slices — the per-leaf materialization
         dominated the fused WHIR program's op count. Leaf iteration order
         matches :meth:`batch_query_proofs` (query-major, then level)."""
-        cur = jnp.stack([jnp.asarray(i, jnp.uint32) for i in indices])
+        cur = _idx_vec(indices)
         per_level = []
         for layer in self.layers[:-1]:
             sib = jnp.take(layer, jnp.asarray(cur ^ 1), axis=1)  # (8, nq)
@@ -146,17 +146,25 @@ def build_merkle_tree(matrix, rows_per_query: int, ext: bool = False) -> MerkleT
     return MerkleTree(layers=layers, rows_per_query=rows_per_query)
 
 
+def _idx_vec(indices):
+    """Query indices as an (nq,) uint32 array: accepts a list of traced
+    scalars or an already-batched array (sample_bits_batch)."""
+    if isinstance(indices, (list, tuple)):
+        return jnp.stack([jnp.asarray(i, jnp.uint32) for i in indices])
+    return jnp.asarray(indices, jnp.uint32)
+
+
 def get_opened_rows_batch(matrix, indices, rows_per_query: int, ext: bool):
     """Trace-mode batched variant of :func:`get_opened_rows`: one gather for
     ALL queries. Returns (nq, rows_per_query, width[, 4]) traced Monty."""
     height = matrix.shape[1]
     query_stride = height // rows_per_query
-    idx = jnp.stack([jnp.asarray(i, jnp.uint32) for i in indices])  # (nq,)
+    idx = _idx_vec(indices)  # (nq,)
     row_ids = idx[:, None] + jnp.uint32(query_stride) * jnp.arange(
         rows_per_query, dtype=jnp.uint32
     )
     g = jnp.take(matrix, row_ids.reshape(-1), axis=1)
-    nq = len(indices)
+    nq = int(idx.shape[0])
     if ext:
         w = matrix.shape[0]
         return g.reshape(w, nq, rows_per_query, 4).transpose(1, 2, 0, 3)

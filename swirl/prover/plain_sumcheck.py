@@ -49,7 +49,7 @@ def sumcheck_multilinear(
     r = []
     for _ in range(n):
         # s(1) = sum over odd entries (linear poly; s(0) inferred by verifier)
-        s1 = jf.ext_to_host(jf.ext_sum(cur.reshape(-1, 2, 4)[:, 1], axis=0))
+        s1 = jf.ext_to_host(jf.ext_sum(cur[1::2], axis=0))
         transcript.observe_ext(s1)
         round_polys.append([s1])
         r_i = transcript.sample_ext()
@@ -102,7 +102,7 @@ def sumcheck_prismalinear(
     cur = fold_ple(evals.reshape(1, -1, 4), l_skip, False, weights)[0]
     round_polys = []
     for _ in range(n):
-        s1 = jf.ext_to_host(jf.ext_sum(cur.reshape(-1, 2, 4)[:, 1], axis=0))
+        s1 = jf.ext_to_host(jf.ext_sum(cur[1::2], axis=0))
         transcript.observe_ext(s1)
         round_polys.append([s1])
         r_i = transcript.sample_ext()

@@ -113,13 +113,15 @@ def fold_ple(mat, l_skip: int, is_rot: bool, weights_dev):
 
 
 def fold_mle(mat, r_dev):
-    """(w, h, 4) -> (w, h/2, 4): t0 + (t1 - t0) * r."""
-    w, h = mat.shape[0], mat.shape[1]
+    """(w, h, 4) -> (w, h/2, 4): t0 + (t1 - t0) * r.
+
+    Stride-2 slices, not reshape+index: the (w, h/2, 1, 4) temps of the
+    reshape form tile T(1,128) on TPU (32x padding; see gkr._pair_split)."""
+    h = mat.shape[1]
     if h <= 1:
         return mat
-    pairs = mat.reshape(w, h // 2, 2, 4)
-    t0 = pairs[:, :, 0]
-    t1 = pairs[:, :, 1]
+    t0 = mat[:, 0::2]
+    t1 = mat[:, 1::2]
     return jf.ext_add(t0, jf.ext_mul(jf.ext_sub(t1, t0), r_dev))
 
 
@@ -128,8 +130,7 @@ def fold_mle_vec(vec, r_dev):
     h = vec.shape[0]
     if h <= 1:
         return vec
-    pairs = vec.reshape(h // 2, 2, 4)
-    t0, t1 = pairs[:, 0], pairs[:, 1]
+    t0, t1 = vec[0::2], vec[1::2]
     return jf.ext_add(t0, jf.ext_mul(jf.ext_sub(t1, t0), r_dev))
 
 

@@ -133,7 +133,10 @@ class TraceVM:
     def pow_omega_batch(log_size: int, indices):
         from ..fields.babybear import two_adic_generator
 
-        idx = jnp.stack([jnp.asarray(i) for i in indices])
+        if isinstance(indices, (list, tuple)):
+            idx = jnp.stack([jnp.asarray(i) for i in indices])
+        else:
+            idx = jnp.asarray(indices)  # already batched (sample_bits_batch)
         return jf.pow_bits_dev(two_adic_generator(log_size), idx, log_size)
 
 

@@ -175,13 +175,18 @@ def prove_whir_opening(
                     transcript.observe_ext(c)
 
         query_phase_pow_witnesses.append(transcript.grind(whir.query_phase_pow_bits))
-        indices = [
-            transcript.sample_bits(log_rs - k) for _ in range(num_queries)
-        ]
+        if v.is_trace:
+            # ONE jitted program for all query-index squeezes (bit-identical
+            # schedule); downstream consumers accept the (nq,) array
+            indices = transcript.sample_bits_batch(log_rs - k, num_queries)
+        else:
+            indices = [
+                transcript.sample_bits(log_rs - k) for _ in range(num_queries)
+            ]
         if whir_round == 0:
             rs_mats = [d.get_rs_matrix() for d in committed]
             for com_idx, d in enumerate(committed):
-                if v.is_trace and indices:
+                if v.is_trace and num_queries:
                     # batched: ONE gather per commitment for rows and ONE
                     # (nq, depth, 8) array for paths; the per-query/per-level
                     # materialization dominated the fused WHIR program size.
@@ -199,7 +204,7 @@ def prove_whir_opening(
                     initial_opened_rows[com_idx].append(rows)
                     initial_merkle_proofs[com_idx].append(proofs[qi])
         else:
-            if v.is_trace and indices:
+            if v.is_trace and num_queries:
                 rows = get_opened_rows_batch(rs_codeword, indices, 1 << k, ext=True)
                 codeword_opened_values.append(rows[:, :, 0, :])  # (nq, 2^k, 4)
                 codeword_merkle_proofs.append(
@@ -275,9 +280,8 @@ def prove_whir_opening(
 
 
 def _interp_vec(vec, x: int):
-    """(2m, 4) -> (m, 4) at integer X."""
-    pairs = vec.reshape(-1, 2, 4)
-    t0, t1 = pairs[:, 0], pairs[:, 1]
+    """(2m, 4) -> (m, 4) at integer X (stride-2: see gkr._pair_split)."""
+    t0, t1 = vec[0::2], vec[1::2]
     if x == 1:
         return t1
     return jf.ext_add(t0, jf.ext_scale(jf.ext_sub(t1, t0), jf.const(x)))
