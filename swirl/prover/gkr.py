@@ -103,7 +103,12 @@ def _scan_ok(transcript) -> bool:
 # use a smaller threshold (_MLE_TAIL_LOG) because their body is a full
 # constraint-DAG evaluation, where masked-scan overhead is real compute.
 _TAIL_LOG = 20
-_MLE_TAIL_LOG = 14
+# raised 14 -> 18 in round 4: at the bench shape (n_max=16) the two
+# formerly-unrolled head MLE rounds were ~100 eager relay dispatches
+# (full DAG eval per x-point each); the masked-scan overhead they avoided
+# is ~2 extra scan-body iterations (~0.1 s of VPU work). Shapes with
+# n_max > 18 still unroll their head rounds.
+_MLE_TAIL_LOG = 18
 
 
 # tier-padded scan buffers: layers with 2^rnd <= tier share ONE jitted scan

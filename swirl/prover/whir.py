@@ -9,6 +9,7 @@ reference ``crates/stark-backend/src/prover/whir.rs``.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -31,6 +32,70 @@ from .sumcheck import (
     mobius_eq_hypercube_dev,
 )
 from .vmode import vm
+
+
+@lru_cache(maxsize=None)
+def _fold_round_jit(pow_bits: int):
+    """ONE jitted program for a WHIR fold round: the two degree-2 round
+    evaluations, their duplex absorb (== observe_ext x2), the folding PoW
+    grind, the alpha squeeze, and both MLE folds. Bit-identical event
+    schedule; the eager prover pays one relay dispatch per fold round
+    instead of ~8. Entry cursor is always (absorb_idx=0) — every fold
+    round follows a ``sample_ext``."""
+    import jax
+
+    from .device_transcript import (
+        RATE,
+        _grind_batch_jit,
+        _permute_jit,
+    )
+
+    batch = 65536
+
+    @jax.jit
+    def f(state, f_evals, w_evals):
+        evals = []
+        for x in (1, 2):
+            fx = _interp_vec(f_evals, x)
+            wx = _interp_vec(w_evals, x)
+            evals.append(jf.ext_sum(jf.ext_mul(fx, wx), axis=0))
+        evals2 = jnp.stack(evals)  # (2, 4) Monty
+        # absorb 8 felts from absorb_idx=0: one overwrite block + permute
+        state = jax.lax.dynamic_update_slice(state, evals2.reshape(-1), (0,))
+        state = _permute_jit()(state)
+        # cursor: absorb_idx=0, sample_idx=RATE
+        if pow_bits == 0:
+            witness = jnp.uint32(0)
+            si = RATE
+        else:
+            step = _grind_batch_jit(0, RATE, pow_bits, batch)
+
+            def cond(c):
+                return jnp.logical_not(c[1])
+
+            def body(c):
+                start, _, _ = c
+                found, w = step(state, start)
+                return (start + jnp.uint32(batch), found, w)
+
+            _, _, witness = jax.lax.while_loop(
+                cond, body, (jnp.uint32(0), jnp.bool_(False), jnp.uint32(0))
+            )
+            # check_witness: observe(witness) then one discarded sample_bits
+            state = state.at[0].set(jf.from_u32(witness))
+            state = _permute_jit()(state)
+            si = RATE - 1
+        alpha = jax.lax.slice(state, (si - 4,), (si,))[::-1]
+        f_next = fold_mle_vec(f_evals, alpha)
+        w_next = fold_mle_vec(w_evals, alpha)
+        return state, f_next, w_next, evals2, witness
+
+    return f
+
+
+# sample_idx after a fold round: alpha consumed 4 of si (see above)
+def _fold_round_exit_si(pow_bits: int) -> int:
+    return (8 - 1 - 4) if pow_bits else (8 - 4)
 
 
 def _pow_table(z, m: int, base_field: bool):
@@ -115,6 +180,19 @@ def prove_whir_opening(
         num_queries = whir.rounds[whir_round].num_queries
 
         for _ in range(k):
+            if v.is_trace:
+                fn = _fold_round_jit(whir.folding_pow_bits)
+                state, f_evals, w_evals, evals2, wit = fn(
+                    transcript.state, f_evals, w_evals
+                )
+                transcript.state = state
+                transcript.absorb_idx = 0
+                transcript.sample_idx = _fold_round_exit_si(
+                    whir.folding_pow_bits
+                )
+                whir_sumcheck_polys.append(evals2)  # expanded at return
+                folding_pow_witnesses.append(wit)
+                continue
             # degree-2 sumcheck round over f*w
             evals = []
             for x in (1, 2):
@@ -263,6 +341,21 @@ def prove_whir_opening(
                     )
             w_evals = jf.ext_add(w_evals, upd)
         log_rs -= 1
+
+    if v.is_trace and whir_sumcheck_polys:
+        # fold-round evals were collected as raw (2, 4) stacks; expand to
+        # the per-eval proof layout from ONE batched fetch when concrete
+        import jax
+
+        concrete = not any(
+            isinstance(e, jax.core.Tracer) for e in whir_sumcheck_polys
+        )
+        evs = (
+            jax.device_get(whir_sumcheck_polys)
+            if concrete
+            else whir_sumcheck_polys
+        )
+        whir_sumcheck_polys = [[v.ef(e[0]), v.ef(e[1])] for e in evs]
 
     return WhirProof(
         mu_pow_witness=mu_pow_witness,
