@@ -103,12 +103,11 @@ def _scan_ok(transcript) -> bool:
 # use a smaller threshold (_MLE_TAIL_LOG) because their body is a full
 # constraint-DAG evaluation, where masked-scan overhead is real compute.
 _TAIL_LOG = 20
-# raised 14 -> 18 in round 4: at the bench shape (n_max=16) the two
-# formerly-unrolled head MLE rounds were ~100 eager relay dispatches
-# (full DAG eval per x-point each); the masked-scan overhead they avoided
-# is ~2 extra scan-body iterations (~0.1 s of VPU work). Shapes with
-# n_max > 18 still unroll their head rounds.
-_MLE_TAIL_LOG = 18
+# A/B-measured on the chip in round 4: widening to 18 (scanning the two
+# head MLE rounds at the bench shape) traded ~30 eager dispatches for 8x
+# the masked DAG compute and measured ~9 s WORSE on the RAP stage; the
+# unrolled head rounds carry ~half the true work at full rate.
+_MLE_TAIL_LOG = 14
 
 
 # tier-padded scan buffers: layers with 2^rnd <= tier share ONE jitted scan
