@@ -162,6 +162,23 @@ class TestDeviceTranscript:
         assert w_h == w_d
         assert int(jf.to_host(dt.sample())) == ht.sample()
 
+    def test_sample_bits_batch_matches_sequential(self):
+        """One jitted sample_bits_batch == n sequential sample_bits: same
+        values, same exit cursor, same downstream samples — across batch
+        sizes that cross permute boundaries and both entry cursors."""
+        from swirl.prover.device_transcript import DeviceTranscript
+
+        for prefix_felts, n in [(1, 3), (9, 8), (2, 21), (8, 1)]:
+            a = DeviceTranscript()
+            b = DeviceTranscript()
+            for t in (a, b):
+                t.observe_slice(list(range(1, prefix_felts + 1)))
+            seq = [int(np.asarray(a.sample_bits(11))) for _ in range(n)]
+            bat = [int(x) for x in np.asarray(b.sample_bits_batch(11, n))]
+            assert seq == bat
+            assert (a.absorb_idx, a.sample_idx) == (b.absorb_idx, b.sample_idx)
+            assert int(jf.to_host(a.sample())) == int(jf.to_host(b.sample()))
+
     def test_works_under_jit(self):
         import jax
         from swirl.prover.device_transcript import DeviceTranscript
