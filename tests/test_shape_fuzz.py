@@ -30,13 +30,23 @@ from swirl.verifier.errors import VerifierError
 N_MUTATIONS = 60
 
 
-@pytest.fixture(scope="module")
-def proven():
-    eng = StarkEngine(_small_params(2, 6, 3))
-    air = FibonacciAir()
-    vk, proof = eng.run_test(
-        [air], [(air.generate_trace(0, 1, 64), air.pvs(0, 1, 64), [])]
-    )
+@pytest.fixture(scope="module", params=["fib", "interactions"])
+def proven(request):
+    """Two fixture proofs: Fibonacci (no interactions — minimal sections)
+    and a self-interaction AIR (GKR + LogUp sections present), so the fuzz
+    walks every proof container family."""
+    if request.param == "fib":
+        eng = StarkEngine(_small_params(2, 6, 3))
+        air = FibonacciAir()
+        vk, proof = eng.run_test(
+            [air], [(air.generate_trace(0, 1, 64), air.pvs(0, 1, 64), [])]
+        )
+        return eng, vk, proof
+    from swirl.testing.fixtures import SelfInteractionAir
+
+    eng = StarkEngine(_small_params(2, 4, 3))
+    air = SelfInteractionAir(4)
+    vk, proof = eng.run_test([air], [(air.generate_trace(64), [], [])])
     return eng, vk, proof
 
 
