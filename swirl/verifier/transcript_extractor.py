@@ -40,7 +40,54 @@ from ..prover.stacked_pcs import StackedLayout
 
 
 class ExtractionError(Exception):
-    pass
+    """Base of the typed extraction taxonomy (peer of the reference's
+    ``TranscriptExtractionError`` enum, ``transcript_extractor.rs:46-66``).
+    Variants carry structured fields and compare by value, like the
+    verifier's :mod:`swirl.verifier.errors` tree."""
+
+    def __init__(self, **fields):
+        self.fields = fields
+        super().__init__(
+            f"{type(self).__name__}("
+            + ", ".join(f"{k}={v!r}" for k, v in fields.items())
+            + ")"
+        )
+
+    def __eq__(self, other):
+        return type(self) is type(other) and self.fields == other.fields
+
+    def __hash__(self):
+        return hash((type(self), tuple(sorted(self.fields.items()))))
+
+
+class StreamExhausted(ExtractionError):
+    """The event log ended while the walk still expected entries."""
+
+    def __init__(self, position: int, want: str):
+        super().__init__(position=position, want=want)
+
+
+class UnexpectedEntryKind(ExtractionError):
+    """Log entry kind differs from the verifier's event at that position."""
+
+    def __init__(self, position: int, expected: str, actual: str):
+        super().__init__(position=position, expected=expected, actual=actual)
+
+
+class ValueMismatch(ExtractionError):
+    """A transcript-carried value disagrees with verifier-known context
+    (vk pre-hash, presence flag, preprocessed commit, public value)."""
+
+    def __init__(self, label: str, position: int | None = None):
+        super().__init__(label=label, position=position)
+
+
+class TrailingEntries(ExtractionError):
+    """Reference ``TranscriptExtractionError::TrailingEntries``: the walk
+    completed but the log has unconsumed events."""
+
+    def __init__(self, position: int, remaining: int):
+        super().__init__(position=position, remaining=remaining)
 
 
 class _Stream:
@@ -50,11 +97,11 @@ class _Stream:
 
     def _next(self, kind: str) -> int:
         if self.pos >= len(self.log):
-            raise ExtractionError(f"transcript stream exhausted (want {kind})")
+            raise StreamExhausted(position=self.pos, want=kind)
         k, v = self.log[self.pos]
         if k != kind:
-            raise ExtractionError(
-                f"event {self.pos}: expected {kind}, log has {k}"
+            raise UnexpectedEntryKind(
+                position=self.pos, expected=kind, actual=k
             )
         self.pos += 1
         return v
@@ -145,7 +192,7 @@ def extract_proof_from_transcript(
     # ---- preamble (verifier/__init__.py:70-92) ---------------------------
     pre_hash = s.digest()
     if not np.array_equal(pre_hash, np.asarray(mvk.pre_hash, dtype=np.uint64)):
-        raise ExtractionError("vk pre-hash mismatch in stream")
+        raise ValueMismatch("vk pre-hash", position=s.pos)
     common_main_commit = s.digest()
     num_airs = len(mvk.per_air)
     out_vdata: List[Optional[TraceVData]] = [None] * num_airs
@@ -154,7 +201,7 @@ def extract_proof_from_transcript(
         if not avk.is_required:
             flag = s.observe()
             if flag != (1 if vdata is not None else 0):
-                raise ExtractionError(f"AIR {air_id} presence flag mismatch")
+                raise ValueMismatch(f"AIR {air_id} presence flag", position=s.pos)
         if vdata is not None:
             cached = []
             if avk.preprocessed_data is not None:
@@ -163,7 +210,7 @@ def extract_proof_from_transcript(
                     prep_commit,
                     np.asarray(avk.preprocessed_data.commit, np.uint64),
                 ):
-                    raise ExtractionError("preprocessed commit mismatch")
+                    raise ValueMismatch("preprocessed commit", position=s.pos)
                 log_height = vdata.log_height
             else:
                 log_height = s.observe()
@@ -174,7 +221,7 @@ def extract_proof_from_transcript(
             )
         for pv in public_values[air_id]:
             if s.observe() != pv % P:
-                raise ExtractionError("public value mismatch")
+                raise ValueMismatch(f"AIR {air_id} public value", position=s.pos)
 
     trace_id_to_air_id = sorted(
         (a for a in range(num_airs) if trace_vdata[a] is not None),
@@ -226,7 +273,7 @@ def extract_proof_from_transcript(
             s.sample_ext()  # mu
         xi_len = total_rounds
     if not n_per_trace:
-        raise ExtractionError("proof contains no traces (all trace_vdata None)")
+        raise ValueMismatch("no traces (all trace_vdata None)")
     n_max = max(max(n_per_trace), 0)
     n_global = max(n_max, n_logup)
     for _ in range(l_skip + n_global - xi_len):
@@ -347,9 +394,7 @@ def extract_proof_from_transcript(
         s.sample_ext()  # gamma
 
     if not s.done():
-        raise ExtractionError(
-            f"{len(s.log) - s.pos} unconsumed transcript events"
-        )
+        raise TrailingEntries(position=s.pos, remaining=len(s.log) - s.pos)
 
     return Proof(
         common_main_commit=common_main_commit,

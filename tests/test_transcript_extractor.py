@@ -87,3 +87,63 @@ class TestTranscriptExtractor:
             extract_proof_from_transcript(
                 vk, proof.trace_vdata, proof.public_values, log
             )
+
+    def test_typed_extraction_errors(self, recorded_fib_setup):
+        """Each malformation maps to its taxonomy variant with positional
+        fields (reference TranscriptExtractionError variants,
+        transcript_extractor.rs:46-66)."""
+        import pytest
+
+        from swirl.verifier.transcript_extractor import (
+            StreamExhausted,
+            TrailingEntries,
+            UnexpectedEntryKind,
+            ValueMismatch,
+        )
+
+        _, vk, _, _, proof, log = recorded_fib_setup
+        log = list(log)
+
+        # truncated log -> StreamExhausted at the end position
+        with pytest.raises(StreamExhausted) as ei:
+            extract_proof_from_transcript(
+                vk, proof.trace_vdata, proof.public_values, log[:-1]
+            )
+        assert ei.value.fields["position"] == len(log) - 1
+
+        # trailing events -> TrailingEntries with the remaining count
+        with pytest.raises(TrailingEntries) as ei:
+            extract_proof_from_transcript(
+                vk,
+                proof.trace_vdata,
+                proof.public_values,
+                log + [("observe", 0), ("observe", 0)],
+            )
+        assert ei.value.fields["remaining"] == 2
+
+        # flipped entry kind mid-stream -> UnexpectedEntryKind at that index
+        k, v = log[10]
+        flipped = list(log)
+        flipped[10] = ("sample" if k == "observe" else "observe", v)
+        with pytest.raises(UnexpectedEntryKind) as ei:
+            extract_proof_from_transcript(
+                vk, proof.trace_vdata, proof.public_values, flipped
+            )
+        assert ei.value.fields["position"] == 10
+
+        # corrupted pre-hash felt -> ValueMismatch("vk pre-hash")
+        bad = list(log)
+        bad[0] = (bad[0][0], (bad[0][1] + 1) % (1 << 31))
+        with pytest.raises(ValueMismatch) as ei:
+            extract_proof_from_transcript(
+                vk, proof.trace_vdata, proof.public_values, bad
+            )
+        assert ei.value.fields["label"] == "vk pre-hash"
+
+        # variants compare by value
+        assert TrailingEntries(position=3, remaining=2) == TrailingEntries(
+            position=3, remaining=2
+        )
+        assert TrailingEntries(position=3, remaining=2) != TrailingEntries(
+            position=3, remaining=1
+        )
