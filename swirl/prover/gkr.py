@@ -350,6 +350,24 @@ _combine_layer = jax.jit(_combine_layer_impl)
 _COMBINE_JIT_MAX = 1 << 21
 
 
+@lru_cache(maxsize=None)
+def _combine_chain_jit(levels: int):
+    """The remaining `levels` of the fraction segment-tree build as ONE
+    jitted program: (2^levels, 4) inputs down to the root. Total work is
+    ~2x the input size, every intermediate stays (m, 4); one eager
+    dispatch replaces one per level (~20 x relay RTT at bench shapes)."""
+
+    @jax.jit
+    def chain(p, q):
+        outs = []
+        for _ in range(levels):
+            p, q = _combine_layer_impl(p, q)
+            outs.append((p, q))
+        return outs
+
+    return chain
+
+
 def _ef(x):
     return vm().ef(x)
 
@@ -368,13 +386,14 @@ def fractional_sumcheck(
 
     # build the layer stack: layers[t] has 2^t fractions; layers[total]=input
     layers = [(jnp.asarray(p_evals), jnp.asarray(q_evals))]
-    while layers[-1][0].shape[0] > 1:
-        fn = (
-            _combine_layer
-            if layers[-1][0].shape[0] <= _COMBINE_JIT_MAX
-            else _combine_layer_impl
-        )
-        layers.append(fn(*layers[-1]))
+    # biggest levels per-op (proven layouts above _COMBINE_JIT_MAX), the
+    # rest of the tree as one chained program
+    while layers[-1][0].shape[0] > _COMBINE_JIT_MAX:
+        layers.append(_combine_layer_impl(*layers[-1]))
+    remaining = int(layers[-1][0].shape[0]).bit_length() - 1
+    if remaining > 0:
+        layers.extend(_combine_chain_jit(remaining)(*layers[-1]))
+    assert layers[-1][0].shape[0] == 1
     layers.reverse()  # layers[t] now has 2^t entries
 
     root_p, root_q = _ef(layers[0][0][0]), _ef(layers[0][1][0])

@@ -873,6 +873,8 @@ def prove_batch_phase(
     zc_evals = v.ext.emul(v.poly.dft_ef(zc_batch), eq_uni_evals)
     s0_zc_poly = v.poly.idft_ef(zc_evals)
 
+    from .gkr import _scan_ok
+
     s0_coeffs = []
     for j in range(s0_deg + 1):
         c = s0_zc_poly[j]
@@ -885,8 +887,12 @@ def prove_batch_phase(
                 v.ext.emul(mu_pows[2 * t_idx + 1], s0_logup_polys[2 * t_idx + 1][j]),
             )
         s0_coeffs.append(c)
-        transcript.observe_ext(c)
+        if not _scan_ok(transcript):
+            transcript.observe_ext(c)
     s0_coeffs = v.stack(s0_coeffs)
+    if _scan_ok(transcript):
+        # one flat absorb == the per-coefficient observe_ext sequence
+        transcript.observe_slice(jnp.ravel(jnp.asarray(s0_coeffs)))
 
     r: List = []
     r0 = transcript.sample_ext()
@@ -1094,8 +1100,11 @@ def prove_batch_phase(
             v.poly.horner_eval(coeffs, v.ext.from_base(i))
             for i in range(1, s_deg + 1)
         ]
-        for e in batch_evals:
-            transcript.observe_ext(e)
+        if _scan_ok(transcript):
+            transcript.observe_slice(jnp.ravel(v.stack(batch_evals)))
+        else:
+            for e in batch_evals:
+                transcript.observe_ext(e)
         sumcheck_round_polys.append(batch_evals)
 
         r_rnd = transcript.sample_ext()

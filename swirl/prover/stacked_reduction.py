@@ -175,8 +175,15 @@ def prove_stacked_opening_reduction(
     s0_coeffs_full = v.poly.from_geometric_cosets_evals(grid, g, g)
     s0_deg = 2 * ((1 << l_skip) - 1)
     s0_coeffs = s0_coeffs_full[: s0_deg + 1]
-    for c in s0_coeffs:
-        transcript.observe_ext(c)
+    from .gkr import _scan_ok
+
+    if _scan_ok(transcript):
+        # one flat absorb == the per-coefficient observe_ext sequence
+        # (the eager prover paid ~2 relay dispatches per coefficient)
+        transcript.observe_slice(jnp.ravel(jnp.asarray(s0_coeffs)))
+    else:
+        for c in s0_coeffs:
+            transcript.observe_ext(c)
 
     u: List[np.ndarray] = []
     u0 = transcript.sample_ext()
@@ -531,15 +538,41 @@ def prove_stacked_opening_reduction(
             rnd += 1
 
     stacking_openings = []
-    for q in q_evals:
-        host = v.ef(q[:, 0])  # (W, 4)
-        opens = [host[c] for c in range(host.shape[0])]
-        for c in opens:
-            transcript.observe_ext(c)
-        stacking_openings.append(opens)
+    if _scan_ok(transcript):
+        # absorb every opening as one flat vector (identical felt order to
+        # the per-column observe_ext loop), then assemble the proof lists
+        # from ONE batched fetch when concrete
+        import jax
+
+        cols_dev = [q[:, 0] for q in q_evals]  # (W_c, 4) each
+        if cols_dev:
+            transcript.observe_slice(
+                jnp.concatenate([jnp.ravel(c) for c in cols_dev])
+            )
+        concrete = not any(
+            isinstance(c, jax.core.Tracer) for c in cols_dev
+        )
+        cols_h = jax.device_get(cols_dev) if concrete else cols_dev
+        for host in cols_h:
+            stacking_openings.append(
+                [host[c] for c in range(host.shape[0])]
+            )
+        s0_list = (
+            [c for c in jax.device_get(jnp.asarray(s0_coeffs))]
+            if concrete
+            else [c for c in s0_coeffs]
+        )
+    else:
+        for q in q_evals:
+            host = v.ef(q[:, 0])  # (W, 4)
+            opens = [host[c] for c in range(host.shape[0])]
+            for c in opens:
+                transcript.observe_ext(c)
+            stacking_openings.append(opens)
+        s0_list = [c for c in s0_coeffs]
 
     proof = StackingProof(
-        univariate_round_coeffs=[c for c in s0_coeffs],
+        univariate_round_coeffs=s0_list,
         sumcheck_round_polys=sumcheck_round_polys,
         stacking_openings=stacking_openings,
     )
