@@ -97,6 +97,13 @@ def e2e_bench():
     cold_s = time.perf_counter() - t0
     print(f"bench: cold prove ({MODE}) {cold_s:.2f}s", file=sys.stderr, flush=True)
 
+    # Verify the COLD proof before the timed repeats: the metric only ever
+    # describes verified proofs, and nothing runs between timing and the
+    # metric print (round-4 postmortem: an exception in a post-timing
+    # appendix destroyed an already-measured number).
+    eng.verify(vk, proof)
+    _mark("verify", t_all)
+
     best = None
     spans = {}
     for _ in range(max(REPEATS, 1)):
@@ -107,70 +114,9 @@ def e2e_bench():
         if best is None or dt < best:
             best = dt
             spans = snap.snapshot()
-    print(
-        "bench: spans_ms "
-        + json.dumps(
-            {k: round(v, 1) for k, v in spans.items() if k.endswith("_time_ms")}
-        ),
-        file=sys.stderr,
-    )
 
-    # roofline appendix: analytic HBM-bytes / VPU-op lower bounds per stage
-    # joined against the measured spans (swirl/roofline.py documents the
-    # chip peaks and the conservative assumptions)
-    from swirl.roofline import report as roofline_report
-
-    span_ms = {
-        k[: -len("_time_ms")]: v
-        for k, v in spans.items()
-        if k.endswith("_time_ms")
-    }
-    print(
-        "bench: roofline "
-        + json.dumps(
-            roofline_report(
-                params, LOG_ROWS, WIDTH, shape.num_interactions, span_ms
-            )
-        ),
-        file=sys.stderr,
-    )
-
-    eng.verify(vk, proof)
-
-    # memory-model calibration: predicted HBM peak vs the device's measured
-    # peak_bytes_in_use (the metering model must track live HBM, not just
-    # be asserted — reference MemTracker / memory_metering.rs precedent)
-    try:
-        import jax
-
-        stats = jax.devices()[0].memory_stats() or {}
-        measured_peak = int(stats.get("peak_bytes_in_use", 0))
-    except Exception:
-        measured_peak = 0
-    if measured_peak:
-        from swirl.memory_metering import ProvingMemoryCounts
-
-        rows = 1 << LOG_ROWS
-        counts = ProvingMemoryCounts(
-            main_cells_with_rot=rows * air.common_main_width(),
-            main_cells_without_rot=0,
-            interaction_cells=rows * shape.num_interactions,
-        )
-        est = eng.proving_memory_config().estimate(counts)
-        print(
-            "bench: mem_calibration "
-            + json.dumps(
-                {
-                    "measured_peak_bytes": measured_peak,
-                    "model_total_bytes": est.total,
-                    "model_over_measured": round(
-                        est.total / measured_peak, 3
-                    ),
-                }
-            ),
-            file=sys.stderr,
-        )
-
+    # THE metric line prints IMMEDIATELY after timing. Everything below is
+    # a best-effort appendix and must not be able to lose the number.
     cells = (1 << LOG_ROWS) * air.common_main_width()
     print(
         json.dumps(
@@ -182,8 +128,79 @@ def e2e_bench():
                     (cells / best) / BASELINE_CELLS_PER_S, 3
                 ),
             }
-        )
+        ),
+        flush=True,
     )
+
+    try:
+        print(
+            "bench: spans_ms "
+            + json.dumps(
+                {
+                    k: round(v, 1)
+                    for k, v in spans.items()
+                    if k.endswith("_time_ms")
+                }
+            ),
+            file=sys.stderr,
+            flush=True,
+        )
+
+        # roofline appendix: analytic HBM-bytes / VPU-op lower bounds per
+        # stage joined against the measured spans (swirl/roofline.py
+        # documents the chip peaks and the conservative assumptions)
+        from swirl.roofline import report as roofline_report
+
+        span_ms = {
+            k[: -len("_time_ms")]: v
+            for k, v in spans.items()
+            if k.endswith("_time_ms")
+        }
+        print(
+            "bench: roofline "
+            + json.dumps(
+                roofline_report(
+                    params, LOG_ROWS, WIDTH, shape.num_interactions, span_ms
+                )
+            ),
+            file=sys.stderr,
+            flush=True,
+        )
+
+        # memory-model calibration: predicted HBM peak vs the device's
+        # measured peak_bytes_in_use (the metering model must track live
+        # HBM, not just be asserted — reference MemTracker /
+        # memory_metering.rs precedent)
+        import jax
+
+        stats = jax.devices()[0].memory_stats() or {}
+        measured_peak = int(stats.get("peak_bytes_in_use", 0))
+        if measured_peak:
+            from swirl.memory_metering import ProvingMemoryCounts
+
+            rows = 1 << LOG_ROWS
+            counts = ProvingMemoryCounts(
+                main_cells_with_rot=rows * air.common_main_width(),
+                main_cells_without_rot=0,
+                interaction_cells=rows * shape.num_interactions,
+            )
+            est = eng.proving_memory_config().estimate(counts)
+            print(
+                "bench: mem_calibration "
+                + json.dumps(
+                    {
+                        "measured_peak_bytes": measured_peak,
+                        "model_total_bytes": est.total,
+                        "model_over_measured": round(
+                            est.total / measured_peak, 3
+                        ),
+                    }
+                ),
+                file=sys.stderr,
+                flush=True,
+            )
+    except Exception as exc:  # appendix-only failure: report, never fatal
+        print(f"bench: appendix failed: {exc!r}", file=sys.stderr, flush=True)
 
 
 def commit_bench():
@@ -270,6 +287,7 @@ def _run_stage(
     seconds, so total silence past the startup window means dead — kill it
     cheaply and let the caller retry instead of draining the budget.
     """
+    import collections
     import threading
 
     env = dict(os.environ)
@@ -284,10 +302,16 @@ def _run_stage(
         stderr=subprocess.PIPE,
     )
     got_output = [False]
+    # ring buffer of the child's last stderr lines: a failed child's
+    # traceback must be visible in the orchestrator's STDOUT tail (the
+    # driver records stdout; round-4's e2e death was undiagnosable because
+    # the traceback only ever lived on a discarded stderr stream)
+    tail = collections.deque(maxlen=40)
 
     def pump():
         for raw in iter(proc.stderr.readline, b""):
             got_output[0] = True
+            tail.append(raw.decode(errors="replace").rstrip())
             sys.stderr.buffer.write(raw)
             sys.stderr.flush()
 
@@ -310,6 +334,11 @@ def _run_stage(
             f"bench: stage {stage} {extra_env} {killed_reason}; killed",
             file=sys.stderr,
         )
+        print(
+            f"bench-diag: stage {stage} {extra_env} {killed_reason}; "
+            f"last stderr: {' | '.join(list(tail)[-3:])}",
+            flush=True,
+        )
         return None
     dt = time.perf_counter() - t0
     out = proc.stdout.read().decode(errors="replace")
@@ -327,6 +356,15 @@ def _run_stage(
         "no metric line",
         file=sys.stderr,
     )
+    # surface the failure cause on stdout (non-JSON prefix; the driver's
+    # parser only picks up lines with a "metric" key)
+    print(
+        f"bench-diag: stage {stage} {extra_env} rc={proc.returncode} "
+        f"in {dt:.0f}s, no metric line; child stderr tail follows",
+        flush=True,
+    )
+    for ln in list(tail)[-12:]:
+        print(f"bench-diag: {ln}", flush=True)
     return None
 
 
@@ -340,14 +378,17 @@ def main():
         print(f"bench: unknown stage {stage!r}", file=sys.stderr)
         return 2
 
-    # Orchestrator: attempt ladder, hard per-attempt budgets, one JSON line.
-    # Default total sized for a warm-XLA-cache e2e stage over the tunneled
-    # dev chip: the e2e subprocess pays keygen + trace/lower + cache-load
-    # (~850 s measured on the 1-core box) before its warm proves.
-    # Banked metric lines print the moment a rung lands, so a driver-side
-    # kill mid-ladder still leaves a parseable result — a generous internal
-    # budget only buys more upgrade attempts, never loses the bank.
-    total_budget = float(os.environ.get("SWIRL_BENCH_TOTAL_BUDGET_S", "2700"))
+    # Orchestrator: attempt ladder, hard per-attempt budgets. Banked metric
+    # lines print the moment a rung lands, so a driver-side kill mid-ladder
+    # still leaves a parseable result on stdout.
+    #
+    # SIZING (round-4 postmortem): the driver's wall clock is ~30 min and is
+    # a hard kill — the internal budget MUST fit inside it with slack, or
+    # nothing prints at all (r4: rc=124, parsed=null, not even the fallback
+    # line). Worst case here: 2 commit rungs x 2 attempts x 120 s = 480 s,
+    # then the eager e2e gets everything left (~950 s), then the small-shape
+    # eager backstop only if that failed. 1500 s total < driver kill.
+    total_budget = float(os.environ.get("SWIRL_BENCH_TOTAL_BUDGET_S", "1500"))
     t_start = time.perf_counter()
 
     def left():
@@ -355,24 +396,17 @@ def main():
 
     # BANK FIRST, UPGRADE SECOND (round-2 postmortem: the ladder burned its
     # whole budget on the speculative e2e path and lost the round's only
-    # number). The commit kernel is the known-good metric: run it first,
-    # PRINT ITS LINE IMMEDIATELY (an external kill mid-e2e then still leaves
-    # a parseable result on stdout), and spend everything left on e2e
-    # attempts at the same shape — stage programs that finished compiling in
-    # a killed attempt persist in the compilation cache, so each retry
-    # resumes from the next segment instead of starting over. If an e2e
-    # attempt lands, its line prints LAST and supersedes the banked one.
+    # number). The commit kernel is the known-good metric: run it first and
+    # PRINT ITS LINE IMMEDIATELY; later rungs supersede it if they land.
     banked = None
-    commit_budget = min(
-        float(os.environ.get("SWIRL_BENCH_COMMIT_BUDGET_S", "300")), left()
-    )
+    commit_budget = float(os.environ.get("SWIRL_BENCH_COMMIT_BUDGET_S", "120"))
 
-    def try_stage(stage, env, attempts=3):
+    def try_stage(stage, env, budget, attempts=2):
         """Retry wedge-killed attempts (a wedge costs ~90 s, not a budget)."""
         for _ in range(attempts):
             if left() < 30.0:
                 return None
-            line = _run_stage(stage, min(commit_budget, left()), env)
+            line = _run_stage(stage, min(budget, left()), env)
             if line is not None:
                 return line
         return None
@@ -382,75 +416,65 @@ def main():
     # (and the startup watchdog makes each wedge cost ~90 s).
     # Rung 1 upgrades to the headline commit shape.
     if LOG_ROWS > 18 and commit_budget > 10.0:
-        banked = try_stage("commit", {"SWIRL_BENCH_LOG_ROWS": 18})
+        banked = try_stage(
+            "commit", {"SWIRL_BENCH_LOG_ROWS": 18}, commit_budget
+        )
         if banked is not None:
             print(banked, flush=True)
     if commit_budget > 10.0 and left() > 30.0:
-        line = try_stage("commit", {"SWIRL_BENCH_LOG_ROWS": LOG_ROWS})
+        line = try_stage(
+            "commit", {"SWIRL_BENCH_LOG_ROWS": LOG_ROWS}, commit_budget
+        )
         if line is not None:
             banked = line
             print(banked, flush=True)
 
-    # Segmented e2e (fastest warm prove) vs eager (needs NO whole-stage
-    # compiles, so it lands when the remote compile service wedges on big
-    # programs — observed r3+r4: stage compiles take 15-30 min each or hang
-    # indefinitely). Ordering: if the PREVIOUS round's bench failed
-    # outright, run eager FIRST — bank the reliable e2e number before
-    # spending anything on speculative stage compiles (r3 postmortem).
-    def _last_round_failed() -> bool:
-        import glob
-
-        paths = sorted(glob.glob(os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
-        if not paths:
-            return False
-        try:
-            with open(paths[-1]) as f:
-                return "bench_failed" in f.read()
-        except OSError:
-            return False
-
-    def try_eager(budget):
+    # E2E: eager mode FIRST, UNCONDITIONALLY. Eager needs no whole-stage
+    # compiles, so it lands even when the remote compile service wedges on
+    # big programs (observed r3+r4: stage compiles take 15-30 min each or
+    # hang indefinitely). The previous policy gated eager-first on a glob
+    # over BENCH_r*.json history — fragile (verdict r4) and pointless: the
+    # segmented upgrade attempt below still runs with whatever is left.
+    def try_eager(budget, log_rows):
         return _run_stage(
             "e2e",
             budget,
             {
-                "SWIRL_BENCH_LOG_ROWS": LOG_ROWS,
+                "SWIRL_BENCH_LOG_ROWS": log_rows,
                 "SWIRL_BENCH_MODE": "eager",
                 "SWIRL_BENCH_REPEATS": "1",
             },
         )
 
-    eager_reserve = min(
-        float(os.environ.get("SWIRL_BENCH_EAGER_RESERVE_S", "900")),
-        total_budget / 2.0,
-    )
     eager_line = None
-    if _last_round_failed() and left() > 60.0:
-        eager_line = try_eager(min(eager_reserve, left() - 10.0))
+    if left() > 120.0:
+        eager_line = try_eager(left() - 60.0, LOG_ROWS)
         if eager_line is not None:
-            print(eager_line, flush=True)  # banked; segmented may supersede
-            eager_reserve = 0.0
+            print(eager_line, flush=True)
 
-    while left() > 60.0 + eager_reserve:
+    # Backstop: smaller-shape eager e2e if the headline shape didn't land
+    # (still an end-to-end verified prove, just at 2^18 rows).
+    if eager_line is None and LOG_ROWS > 18 and left() > 120.0:
+        eager_line = try_eager(left() - 10.0, 18)
+        if eager_line is not None:
+            print(eager_line, flush=True)
+
+    # Upgrade: segmented e2e only with genuinely spare budget (it needs all
+    # five stage programs already in the persistent cache to stand a
+    # chance; a cold stage compile cannot fit any sane budget here).
+    if (
+        eager_line is not None
+        and left() > float(os.environ.get("SWIRL_BENCH_SEG_MIN_LEFT_S", "400"))
+        and os.environ.get("SWIRL_BENCH_SKIP_SEGMENTED") != "1"
+    ):
         line = _run_stage(
-            "e2e",
-            left() - 10.0 - eager_reserve,
-            {"SWIRL_BENCH_LOG_ROWS": LOG_ROWS},
+            "e2e", left() - 30.0, {"SWIRL_BENCH_LOG_ROWS": LOG_ROWS}
         )
         if line is not None:
-            print(line)
+            print(line, flush=True)
             return 0
 
-    if eager_line is None and left() > 60.0:
-        line = try_eager(left() - 10.0)
-        if line is not None:
-            print(line)
-            return 0
-    if eager_line is not None:
-        return 0
-
-    if banked is not None:
+    if eager_line is not None or banked is not None:
         return 0
     print(
         json.dumps(

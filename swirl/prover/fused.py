@@ -821,7 +821,7 @@ def _prove_segmented(
             "swirl: AOT-loaded stage failed at call time; re-tracing",
             file=sys.stderr,
         )
-        cache[key] = _segmented_fn(backend, mpk, ctx)
+        cache[key] = _segmented_fn(backend, mpk, ctx, mesh=mesh)
         stages, meta = cache[key]
         compiled_for_save = None
         commit_flat, gkr_flat, batch_flat, stacking_flat, whir_flat = (

@@ -239,6 +239,17 @@ def _layer_full_jit(rnd: int, head: int, entry_si: int):
     entry_si: transcript.sample_idx at layer entry (absorb_idx must be 0,
     which every ``sample_ext`` guarantees).
     """
+    # The inlined sample_ext below permutes whenever entry_si < EF_D_, which
+    # matches DeviceTranscript.sample_ext only for entry_si == 0 (the {1,2,3}
+    # cursors squeeze remaining elements one at a time there). GKR layer
+    # entry cursors are always 0/4/8 today; refuse to build a program for a
+    # cursor this inline schedule would get wrong.
+    if not (entry_si == 0 or entry_si >= EF_D_):
+        raise AssertionError(
+            f"_layer_full_jit: unsupported entry sample_idx {entry_si}; the "
+            "inlined sample_ext only matches the host schedule for cursors "
+            f"0 or >= {EF_D_}"
+        )
     from .device_transcript import _permute_jit, duplex_absorb_sample_ext
     from .sumcheck import eq_hypercube_dev
 

@@ -276,7 +276,12 @@ def prove_whir_opening(
                         d.tree.batch_query_proofs_arr(indices)
                     )
                     continue
-                proofs = d.tree.batch_query_proofs(indices) if indices else []
+                # NB: guard on num_queries, not `indices` — in trace mode
+                # with num_queries == 0 `indices` is an empty jnp array and
+                # array truthiness raises.
+                proofs = (
+                    d.tree.batch_query_proofs(indices) if num_queries else []
+                )
                 for qi, index in enumerate(indices):
                     rows = get_opened_rows(rs_mats[com_idx], index, 1 << k, ext=False)
                     initial_opened_rows[com_idx].append(rows)
@@ -290,7 +295,9 @@ def prove_whir_opening(
                 )
             else:
                 opened = []
-                proofs = rs_tree.batch_query_proofs(indices) if indices else []
+                proofs = (
+                    rs_tree.batch_query_proofs(indices) if num_queries else []
+                )
                 for qi, index in enumerate(indices):
                     rows = get_opened_rows(rs_codeword, index, 1 << k, ext=True)
                     opened.append(rows[:, 0, :])  # width 1 -> (2^k, 4)

@@ -299,11 +299,14 @@ class QueryPhasePoWInvalid(WhirError):
     template = "query phase proof-of-work witness check failed (round {round})"
 
 
-class FinalPolyQueryMismatch(WhirError):
-    template = "final polynomial doesn't explain queries"
-
-
 class FinalPolyConstraint(WhirError):
+    """Raised when the final constrained-RS-code membership sum check fails.
+
+    Per-query final-poly evaluation mismatches are folded into this same sum
+    check (there is no separate per-query comparison), so this is the single
+    terminal WHIR consistency error.
+    """
+
     template = "final poly is not in the final constrained RS code"
 
 
