@@ -222,85 +222,134 @@ def _layer_big(transcript, rnd, head, p_next, q_next, xi_stack):
     return state, evals_all, claims4, xi_next
 
 
-@lru_cache(maxsize=None)
-def _layer_full_jit(rnd: int, head: int, entry_si: int):
-    """ONE jitted program for an entire GKR layer: sample lambda, build the
-    eq table, run `head` unrolled full-rate sub-rounds, scan the masked
-    tail, absorb the next layer's four claims, squeeze mu.
+def _check_entry_si(entry_si: int, who: str) -> None:
+    # The inlined sample_ext permutes whenever entry_si < EF_D_, which
+    # matches DeviceTranscript.sample_ext only for entry_si == 0 (the {1,2,3}
+    # cursors squeeze remaining elements one at a time there). GKR layer
+    # entry cursors are always 0/4/8 today; refuse to build a program for a
+    # cursor the inline schedule would get wrong.
+    if not (entry_si == 0 or entry_si >= EF_D_):
+        raise AssertionError(
+            f"{who}: unsupported entry sample_idx {entry_si}; the inlined "
+            f"sample_ext only matches the host schedule for cursors 0 or "
+            f">= {EF_D_}"
+        )
+
+
+def _layer_body(state, p_next, q_next, xi_stack, entry_si: int, rnd: int, head: int):
+    """Traced body of one full GKR layer: sample lambda, build the eq
+    table, run `head` unrolled full-rate sub-rounds, scan the masked tail,
+    absorb the next layer's four claims, squeeze mu.
 
     Bit-identical to the per-op sequence (``sample_ext``, per-sub-round
     eval/observe_ext x3/sample_ext/fold, claims observe_ext x4,
     ``sample_ext``): the duplex events are cursor-uniform, so the whole
-    layer's sponge schedule is static. The eager fused prover calls this
-    once per layer — ~10 relay dispatches collapse into one — and the
-    traced prover inlines the same body, so there is exactly one
-    definition of the layer schedule.
+    layer's sponge schedule is static. Exit cursors are uniformly
+    ``absorb_idx=0, sample_idx=RATE-EF_D`` (after the mu squeeze).
 
     entry_si: transcript.sample_idx at layer entry (absorb_idx must be 0,
     which every ``sample_ext`` guarantees).
     """
-    # The inlined sample_ext below permutes whenever entry_si < EF_D_, which
-    # matches DeviceTranscript.sample_ext only for entry_si == 0 (the {1,2,3}
-    # cursors squeeze remaining elements one at a time there). GKR layer
-    # entry cursors are always 0/4/8 today; refuse to build a program for a
-    # cursor this inline schedule would get wrong.
-    if not (entry_si == 0 or entry_si >= EF_D_):
-        raise AssertionError(
-            f"_layer_full_jit: unsupported entry sample_idx {entry_si}; the "
-            "inlined sample_ext only matches the host schedule for cursors "
-            f"0 or >= {EF_D_}"
-        )
     from .device_transcript import _permute_jit, duplex_absorb_sample_ext
     from .sumcheck import eq_hypercube_dev
 
+    # lam = sample_ext() at a static cursor
+    si = entry_si
+    if si < EF_D_:
+        state = _permute_jit()(state)
+        si = 8
+    lam_dev = jax.lax.slice(state, (si - EF_D_,), (si,))[::-1]
+
+    eq_tab = eq_hypercube_dev(xi_stack)
+    p0, p1v = _pair_split(p_next)
+    q0, q1v = _pair_split(q_next)
+    cols = (eq_tab, p0, q0, p1v, q1v)
+
+    head_evals = []
+    head_r = []
+    for _ in range(head):
+        evals3 = _gkr_round_evals(cols, lam_dev)
+        state, r = duplex_absorb_sample_ext(state, evals3.reshape(-1))
+        head_evals.append(evals3)
+        head_r.append(r)
+        cols = _gkr_fold(cols, r)
+    if head < rnd:
+        state, cols, tail_evals, tail_r = _layer_rounds_scan(
+            state, cols, lam_dev, rnd - head
+        )
+        evals_all = (
+            jnp.concatenate([jnp.stack(head_evals), tail_evals])
+            if head
+            else tail_evals
+        )
+        r_all = (
+            jnp.concatenate([jnp.stack(head_r), tail_r])
+            if head
+            else tail_r
+        )
+    else:
+        evals_all = jnp.stack(head_evals)
+        r_all = jnp.stack(head_r)
+
+    claims4 = jnp.stack(
+        [cols[1][0], cols[2][0], cols[3][0], cols[4][0]]
+    )
+    state, mu = duplex_absorb_sample_ext(state, claims4.reshape(-1))
+    xi_next = jnp.concatenate([mu[None], r_all])
+    return state, evals_all, claims4, xi_next
+
+
+@lru_cache(maxsize=None)
+def _layer_full_jit(rnd: int, head: int, entry_si: int):
+    """ONE jitted program for an entire GKR layer (see :func:`_layer_body`).
+
+    The eager fused prover calls this once per layer — ~10 relay dispatches
+    collapse into one — and the traced prover inlines the same body, so
+    there is exactly one definition of the layer schedule."""
+    _check_entry_si(entry_si, "_layer_full_jit")
+
     @jax.jit
     def layer(state, p_next, q_next, xi_stack):
-        # lam = sample_ext() at a static cursor
-        si = entry_si
-        if si < EF_D_:
-            state = _permute_jit()(state)
-            si = 8
-        lam_dev = jax.lax.slice(state, (si - EF_D_,), (si,))[::-1]
-
-        eq_tab = eq_hypercube_dev(xi_stack)
-        p0, p1v = _pair_split(p_next)
-        q0, q1v = _pair_split(q_next)
-        cols = (eq_tab, p0, q0, p1v, q1v)
-
-        head_evals = []
-        head_r = []
-        for _ in range(head):
-            evals3 = _gkr_round_evals(cols, lam_dev)
-            state, r = duplex_absorb_sample_ext(state, evals3.reshape(-1))
-            head_evals.append(evals3)
-            head_r.append(r)
-            cols = _gkr_fold(cols, r)
-        if head < rnd:
-            state, cols, tail_evals, tail_r = _layer_rounds_scan(
-                state, cols, lam_dev, rnd - head
-            )
-            evals_all = (
-                jnp.concatenate([jnp.stack(head_evals), tail_evals])
-                if head
-                else tail_evals
-            )
-            r_all = (
-                jnp.concatenate([jnp.stack(head_r), tail_r])
-                if head
-                else tail_r
-            )
-        else:
-            evals_all = jnp.stack(head_evals)
-            r_all = jnp.stack(head_r)
-
-        claims4 = jnp.stack(
-            [cols[1][0], cols[2][0], cols[3][0], cols[4][0]]
-        )
-        state, mu = duplex_absorb_sample_ext(state, claims4.reshape(-1))
-        xi_next = jnp.concatenate([mu[None], r_all])
-        return state, evals_all, claims4, xi_next
+        return _layer_body(state, p_next, q_next, xi_stack, entry_si, rnd, head)
 
     return layer
+
+
+@lru_cache(maxsize=None)
+def _layer_group_jit(rnd_lo: int, rnd_hi: int, entry_si: int):
+    """Layers ``rnd_lo..rnd_hi`` (all fully inside the scan tail, head==0)
+    chained as ONE jitted program — the eager prover pays one relay
+    dispatch for the whole group instead of one per layer.
+
+    Per-layer evals are zero-padded to ``rnd_hi`` sub-rounds so the group
+    returns uniform stacked outputs ``(G, rnd_hi, 3, 4)`` / ``(G, 4, 4)``;
+    the caller slices the true ``rnd`` prefix per layer (host-side numpy
+    after the batched fetch, or free symbolic slices under an outer trace).
+    Program size stays modest because every layer in a tier calls the SAME
+    inner scan-step pjit (one lowered callee per tier), and the per-layer
+    glue (eq table, pads, claims, two permutes) is small."""
+    _check_entry_si(entry_si, "_layer_group_jit")
+
+    @jax.jit
+    def group(state, p_list, q_list, xi_stack):
+        evals_out = []
+        claims_out = []
+        si = entry_si
+        for i, rnd in enumerate(range(rnd_lo, rnd_hi + 1)):
+            state, evals_all, claims4, xi_stack = _layer_body(
+                state, p_list[i], q_list[i], xi_stack, si, rnd, 0
+            )
+            si = _EF_SAMPLE_IDX  # uniform exit cursor after the mu squeeze
+            pad = rnd_hi - rnd
+            if pad:
+                evals_all = jnp.concatenate(
+                    [evals_all, jnp.zeros((pad, 3, 4), jnp.uint32)]
+                )
+            evals_out.append(evals_all)
+            claims_out.append(claims4)
+        return state, jnp.stack(evals_out), jnp.stack(claims_out), xi_stack
+
+    return group
 
 
 def _layer_rounds_scan(state0, cols, lam_dev, num_subs: int):
@@ -342,7 +391,11 @@ class FracSumcheckResult:
     fractional_sum: Tuple[np.ndarray, np.ndarray]  # (p, q) EF host
     claims_per_layer: List[GkrLayerClaims]
     sumcheck_polys: List[List[List[np.ndarray]]]
-    xi: List[np.ndarray]
+    # challenge point: a list of (4,) values on the host path, ONE stacked
+    # (n, 4) device array on the device (DeviceTranscript) path — exploding
+    # the stack into per-element slices cost one relay dispatch each in the
+    # eager prover
+    xi: object
 
 
 def _combine_layer_impl(p, q):
@@ -354,9 +407,12 @@ def _combine_layer_impl(p, q):
     return p_out, q_out
 
 
-# jitted: one eager dispatch per tree level instead of ~8; the build loop
-# falls back to per-op dispatch above 2^21 entries, where a single compiled
-# program has hit pathological 32x tile padding on this chip
+# jitted: one eager dispatch per tree level instead of ~8. Levels above
+# _COMBINE_JIT_MAX run as single-level jitted programs (the historical 32x
+# tile padding at these sizes came from reshape(-1,2,4)-style pair splits
+# inside LARGER fused programs; the stride-2 _pair_split keeps every
+# intermediate (m, 4)); set SWIRL_GKR_COMBINE_PER_OP=1 to restore per-op
+# dispatch for on-chip A/B.
 _combine_layer = jax.jit(_combine_layer_impl)
 _COMBINE_JIT_MAX = 1 << 21
 
@@ -399,8 +455,15 @@ def fractional_sumcheck(
     layers = [(jnp.asarray(p_evals), jnp.asarray(q_evals))]
     # biggest levels per-op (proven layouts above _COMBINE_JIT_MAX), the
     # rest of the tree as one chained program
+    import os
+
+    _combine_big = (
+        _combine_layer_impl
+        if os.environ.get("SWIRL_GKR_COMBINE_PER_OP") == "1"
+        else _combine_layer
+    )
     while layers[-1][0].shape[0] > _COMBINE_JIT_MAX:
-        layers.append(_combine_layer_impl(*layers[-1]))
+        layers.append(tuple(_combine_big(*layers[-1])))
     remaining = int(layers[-1][0].shape[0]).bit_length() - 1
     if remaining > 0:
         layers.extend(_combine_chain_jit(remaining)(*layers[-1]))
@@ -431,46 +494,71 @@ def fractional_sumcheck(
     from .sumcheck import eq_hypercube_dev
 
     if _scan_ok(transcript):
-        # device path: ONE jitted program per layer (the eager prover pays
-        # one relay dispatch per layer; the traced prover inlines it). The
-        # few layers ABOVE the scan tail threshold keep the per-op head
-        # path: their (>= 2^_TAIL_LOG, 4) buffers are where XLA's layout
-        # assignment has historically gone 32x-padded inside larger fused
-        # programs, and two layers' worth of eager dispatches is cheap.
+        # device path: the scan-tail layers (head == 0) run as GROUPED
+        # jitted programs — one relay dispatch per group instead of one per
+        # layer — and the few layers ABOVE the scan tail threshold keep the
+        # per-op head path: their (>= 2^_TAIL_LOG, 4) buffers are where
+        # XLA's layout assignment has historically gone 32x-padded inside
+        # larger fused programs. Group spans come from SWIRL_GKR_GROUPS
+        # (comma-separated upper bounds, default one group for the whole
+        # tail) so compile-size regressions can be bisected on-chip without
+        # code changes.
+        import os
+
         assert transcript.absorb_idx == 0
         xi_stack = v.stack(xi_prev)
-        dev_evals: List = []
-        dev_claims: List = []
-        for rnd in range(1, total_rounds):
-            head = max(0, rnd - _TAIL_LOG)
-            p_next, q_next = layers[rnd + 1]
-            if head == 0:
-                fn = _layer_full_jit(rnd, head, transcript.sample_idx)
-                state, evals_all, claims4, xi_stack = fn(
-                    transcript.state, p_next, q_next, xi_stack
-                )
-            else:
-                state, evals_all, claims4, xi_stack = _layer_big(
-                    transcript, rnd, head, p_next, q_next, xi_stack
-                )
+        n_tail = min(total_rounds - 1, _TAIL_LOG)  # layers 1..n_tail
+        bounds_env = os.environ.get("SWIRL_GKR_GROUPS", "")
+        bounds = (
+            [int(b) for b in bounds_env.split(",") if b.strip()]
+            if bounds_env
+            else []
+        )
+        spans = []
+        lo = 1
+        for b in bounds:
+            if lo <= min(b, n_tail):
+                spans.append((lo, min(b, n_tail)))
+                lo = min(b, n_tail) + 1
+        if lo <= n_tail:
+            spans.append((lo, n_tail))
+
+        group_blocks = []  # (rnd_lo, rnd_hi, evals (G, rnd_hi, 3, 4), claims (G, 4, 4))
+        big_blocks = []  # (rnd, evals (rnd, 3, 4), claims (4, 4))
+        for rnd_lo, rnd_hi in spans:
+            fn = _layer_group_jit(rnd_lo, rnd_hi, transcript.sample_idx)
+            state, evals_g, claims_g, xi_stack = fn(
+                transcript.state,
+                [layers[rnd + 1][0] for rnd in range(rnd_lo, rnd_hi + 1)],
+                [layers[rnd + 1][1] for rnd in range(rnd_lo, rnd_hi + 1)],
+                xi_stack,
+            )
             transcript.state = state
             transcript.absorb_idx = 0
             transcript.sample_idx = _EF_SAMPLE_IDX
-            dev_evals.append(evals_all)
-            dev_claims.append(claims4)
+            group_blocks.append((rnd_lo, rnd_hi, evals_g, claims_g))
+        for rnd in range(n_tail + 1, total_rounds):
+            head = rnd - _TAIL_LOG
+            p_next, q_next = layers[rnd + 1]
+            state, evals_all, claims4, xi_stack = _layer_big(
+                transcript, rnd, head, p_next, q_next, xi_stack
+            )
+            transcript.state = state
+            transcript.absorb_idx = 0
+            transcript.sample_idx = _EF_SAMPLE_IDX
+            big_blocks.append((rnd, evals_all, claims4))
 
         # proof assembly: in the eager prover the stacked outputs are
         # concrete — fetch them in ONE device_get and slice with numpy
         # (per-element jnp slicing was ~1000 relay dispatches); under an
         # outer trace the slices are free symbolic ops
         concrete = not isinstance(transcript.state, jax.core.Tracer)
-        if concrete and dev_evals:
-            dev_evals = jax.device_get(dev_evals)
-            dev_claims = jax.device_get(dev_claims)
-        for rnd_i, (evals_all, claims4) in enumerate(
-            zip(dev_evals, dev_claims)
-        ):
-            rnd = rnd_i + 1
+        if concrete and (group_blocks or big_blocks):
+            group_blocks, big_blocks = jax.device_get(
+                (group_blocks, big_blocks)
+            )
+
+        def _emit_layer(rnd, evals_all, claims4):
             sumcheck_polys.append(
                 [
                     [_ef(evals_all[i, j]) for j in range(3)]
@@ -485,12 +573,17 @@ def fractional_sumcheck(
                     q_xi_1=_ef(claims4[3]),
                 )
             )
-        xi_prev = [xi_stack[i] for i in range(int(xi_stack.shape[0]))]
+
+        for rnd_lo, rnd_hi, evals_g, claims_g in group_blocks:
+            for i, rnd in enumerate(range(rnd_lo, rnd_hi + 1)):
+                _emit_layer(rnd, evals_g[i], claims_g[i])
+        for rnd, evals_all, claims4 in big_blocks:
+            _emit_layer(rnd, evals_all, claims4)
         return FracSumcheckResult(
             fractional_sum=(root_p, root_q),
             claims_per_layer=claims,
             sumcheck_polys=sumcheck_polys,
-            xi=xi_prev,
+            xi=xi_stack,
         )
 
     for rnd in range(1, total_rounds):

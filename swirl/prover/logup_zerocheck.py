@@ -558,10 +558,45 @@ def prove_gkr_phase(
     else:
         frac = fractional_sumcheck(transcript, None, None)
 
-    xi = list(frac.xi)
     n_global = max(n_max, n_logup)
-    while len(xi) != l_skip + n_global:
-        xi.append(transcript.sample_ext())
+    total_xi = l_skip + n_global
+    from .gkr import _scan_ok
+
+    if _scan_ok(transcript):
+        # device path: xi stays ONE stacked (n, 4) array; the extension
+        # samples run as one region program (per-element sample_ext was one
+        # relay dispatch each in the eager prover)
+        xi_stack = (
+            frac.xi
+            if not isinstance(frac.xi, list)
+            else jnp.zeros((0, 4), jnp.uint32)
+        )
+        have = int(xi_stack.shape[0])
+        extra = total_xi - have
+        if extra > 0:
+            from .regions import run_region
+
+            def factory():
+                def body(tr, xi_in):
+                    outs = jnp.stack(
+                        [tr.sample_ext() for _ in range(extra)]
+                    )
+                    return (
+                        jnp.concatenate([xi_in, outs])
+                        if int(xi_in.shape[0])
+                        else outs
+                    )
+
+                return body
+
+            xi_stack = run_region(
+                transcript, ("gkr_xi_ext", extra, have), factory, xi_stack
+            )
+        xi = xi_stack
+    else:
+        xi = list(frac.xi)
+        while len(xi) != total_xi:
+            xi.append(transcript.sample_ext())
 
     gkr_proof = GkrProof(
         logup_pow_witness=logup_pow_witness,
@@ -613,6 +648,11 @@ def prove_batch_phase(
     d_global = global_degree
     ZERO = v.ext.ezero()
     n_max = pv.n_max
+    if not isinstance(xi, list):
+        # device path hands over ONE stacked (n, 4) array (see
+        # FracSumcheckResult.xi); the legacy body below still indexes
+        # per-element — exploded here until the region conversion lands
+        xi = [xi[i] for i in range(int(xi.shape[0]))]
     pv.xi = xi
     beta_pows = v.ext.epowers(beta, max_msg_len + 1)
     beta_pows_dev = v.const_vec(beta_pows)
