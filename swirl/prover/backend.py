@@ -285,12 +285,20 @@ class Coordinator:
         from .vmode import vm as _vm
 
         _ext = _vm().ext
-        u_cube = []
-        cur = u[0]
-        for _ in range(params.l_skip):
-            u_cube.append(cur)
-            cur = _ext.emul(cur, cur)
-        u_cube.extend(u[1:])
+        if not isinstance(u, list):
+            # stacked device opening point from the region-jit reduction:
+            # build u_cube as ONE jitted program (per-element squaring cost
+            # one relay dispatch each in the eager prover)
+            from .stacked_reduction import _u_cube_jit
+
+            u_cube = _u_cube_jit(params.l_skip)(u)
+        else:
+            u_cube = []
+            cur = u[0]
+            for _ in range(params.l_skip):
+                u_cube.append(cur)
+                cur = _ext.emul(cur, cur)
+            u_cube.extend(u[1:])
 
         with metrics.span("prove_whir"):
             whir_proof = prove_whir_opening(

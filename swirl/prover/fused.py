@@ -617,31 +617,32 @@ def _segmented_fn(backend, mpk, ctx, mesh=None):
                 t, params, mpk.max_constraint_degree, mk_traces(common_list)
             )
         save_cursor(t, "cur2a")
+        # xi is ONE stacked (l_skip + n_global, 4) array on the device path
         return (
             t.state,
             _pack(meta, "rap_gkr", _to_plain(gkr_proof)),
-            jnp.stack(xi),
+            jnp.asarray(xi),
             beta,
         )
 
     def seg2b(state, xi_stack, beta, common_list):
         with vmode.trace_mode():
             t = restore_transcript(state, "cur2a")
-            xi = [xi_stack[i] for i in range(xi_stack.shape[0])]
             batch_proof, r = prove_batch_phase(
                 t,
                 params,
                 mpk.max_constraint_degree,
                 mk_traces(common_list),
-                xi,
+                xi_stack,
                 beta,
                 save_memory=bool(backend.config.zerocheck_save_memory),
             )
         save_cursor(t, "cur2")
+        # r is ONE stacked (n_max + 1, 4) array on the device path
         return (
             t.state,
             _pack(meta, "rap_batch", _to_plain(batch_proof)),
-            jnp.stack(r),
+            jnp.asarray(r),
         )
 
     def stacked_datas(matrix, rs_matrix, layers):
@@ -666,30 +667,24 @@ def _segmented_fn(backend, mpk, ctx, mesh=None):
         with vmode.trace_mode():
             t = restore_transcript(state, "cur2")
             datas, need_rot = stacked_datas(matrix, rs_matrix, layers)
-            r = [r_stack[i] for i in range(r_stack.shape[0])]
             stacking_proof, u = prove_stacked_opening_reduction(
-                t, params, datas, need_rot, r
+                t, params, datas, need_rot, r_stack
             )
         save_cursor(t, "cur3")
+        # u is ONE stacked (n_stack + 1, 4) array on the device path
         return (
             t.state,
             _pack(meta, "stacking", _to_plain(stacking_proof)),
-            jnp.stack(u),
+            jnp.asarray(u),
         )
 
     def seg4(state, u_stack, matrix, rs_matrix, layers):
         with vmode.trace_mode():
             t = restore_transcript(state, "cur3")
             datas, _ = stacked_datas(matrix, rs_matrix, layers)
-            from ..fields import text
+            from .stacked_reduction import _u_cube_jit
 
-            u = [u_stack[i] for i in range(u_stack.shape[0])]
-            u_cube = []
-            cur = u[0]
-            for _ in range(params.l_skip):
-                u_cube.append(cur)
-                cur = text.emul(cur, cur)
-            u_cube.extend(u[1:])
+            u_cube = _u_cube_jit(params.l_skip)(u_stack)
             whir_proof = prove_whir_opening(t, params, datas, u_cube)
         return _pack(meta, "whir", _to_plain(whir_proof))
 

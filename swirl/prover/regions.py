@@ -34,6 +34,7 @@ schedule fused in instead of synced host-side (``sponge.rs``).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Dict, Tuple
 
 import jax
@@ -102,6 +103,19 @@ def run_region(
 
         reg.fn = run
         _CACHE[full_key] = reg
+        if os.environ.get("SWIRL_REGION_SIZES") == "1":
+            try:
+                import sys
+
+                mlir = reg.fn.lower(transcript.state, *args).as_text()
+                print(
+                    f"region {key[-1] if isinstance(key, tuple) else key}: "
+                    f"{len(mlir) / 1024:.0f} KB MLIR",
+                    file=sys.stderr,
+                    flush=True,
+                )
+            except Exception:
+                pass
     state, out = reg.fn(transcript.state, *args)
     transcript.state = state
     transcript.absorb_idx, transcript.sample_idx = reg.exit_cursors

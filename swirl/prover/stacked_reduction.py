@@ -14,6 +14,7 @@ from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..fields import ext as hext
@@ -50,10 +51,22 @@ def prove_stacked_opening_reduction(
     need_rot_per_commit: List[List[bool]],
     r: List[np.ndarray],
 ) -> Tuple[StackingProof, List[np.ndarray]]:
+    from .gkr import _scan_ok as _dev
+
+    if _dev(transcript):
+        # device transcript (eager or segmented fused prover): the
+        # region-jit implementation with an identical event schedule
+        return _reduction_device(
+            transcript, params, stacked_per_commit, need_rot_per_commit, r
+        )
     v = vm()
     l_skip = params.l_skip
     n_stack = params.n_stack
     omega_skip = two_adic_generator(l_skip)
+    if not isinstance(r, list):
+        # the device batch phase hands the opening point over as ONE
+        # stacked (n+1, 4) array; the host path indexes per element
+        r = [r[i] for i in range(int(r.shape[0]))]
     lam = transcript.sample_ext()
 
     # trace views with lambda slot assignment (eq at 2i, rot at 2i+1)
@@ -577,6 +590,731 @@ def prove_stacked_opening_reduction(
         stacking_openings=stacking_openings,
     )
     return proof, u
+
+
+def _reduction_device(
+    transcript,
+    params: SystemParams,
+    stacked_per_commit: List[StackedPcsData],
+    need_rot_per_commit: List[List[bool]],
+    r,
+) -> Tuple[StackingProof, object]:
+    """Device-transcript stacked reduction: the same protocol flow as the
+    host body of :func:`prove_stacked_opening_reduction`, restructured into
+    region-jit programs (:mod:`swirl.prover.regions`):
+
+    - ``rd0``: lambda sample, round-0 grids + z kernels, s_0 absorb, u_0
+      squeeze, PLE folds + eq/k_rot table updates;
+    - ``rd_blk``: every contiguous run of unrolled rounds as ONE program;
+    - ``rd_scan``: the mid rounds as one ``lax.scan`` program;
+    - ``rd_open``: the flat stacking-opening absorb.
+
+    ``r`` is the stacked (n+1, 4) opening point from the device batch
+    phase (a list is also accepted); the returned ``u`` is likewise ONE
+    stacked (n_stack + 1, 4) device array. Byte-identity with the host
+    path is CI-pinned (tests/test_fused.py)."""
+    from .regions import run_region
+
+    v = vm()
+    l_skip = params.l_skip
+    n_stack = params.n_stack
+    omega_skip = two_adic_generator(l_skip)
+    g = GENERATOR
+
+    r_stack = (
+        jnp.asarray(r)
+        if not isinstance(r, list)
+        else jnp.stack([jnp.asarray(x) for x in r])
+    )
+    num_r = int(r_stack.shape[0])
+
+    # static trace views / groups (identical to the host body)
+    trace_views: List[TraceView] = []
+    lam_idx = 0
+    for com_idx, d in enumerate(stacked_per_commit):
+        need_rot = need_rot_per_commit[com_idx]
+        for mat_idx, _col, sl in d.layout.sorted_cols:
+            rot_idx = lam_idx + 1 if need_rot[mat_idx] else None
+            trace_views.append(TraceView(com_idx, sl, lam_idx, rot_idx))
+            lam_idx += 2
+    groups: List[Tuple[int, int]] = []
+    start = 0
+    for i in range(1, len(trace_views) + 1):
+        if (
+            i == len(trace_views)
+            or trace_views[i].slice.log_height
+            != trace_views[start].slice.log_height
+        ):
+            groups.append((start, i))
+            start = i
+    lhts = sorted({tv.slice.log_height for tv in trace_views})
+    for lht in lhts:
+        n_lift = max(lht - l_skip, 0)
+        if num_r < 1 + n_lift:
+            # reference: StackedReductionError::EqRMissing (error.rs)
+            raise StackedReductionError(
+                f"eq_r missing entry for log_height={lht}: need "
+                f"{1 + n_lift} opening-point coords, got {num_r}"
+            )
+
+    stacked_mats = [d.get_matrix() for d in stacked_per_commit]
+    base_key = (
+        "reduction",
+        l_skip,
+        n_stack,
+        num_r,
+        tuple(
+            (
+                tv.com_idx,
+                tv.slice.col_idx,
+                tv.slice.row_idx,
+                tv.slice.log_height,
+                tv.lambda_eq_idx,
+                tv.lambda_rot_idx,
+            )
+            for tv in trace_views
+        ),
+        tuple(int(m.shape[0]) for m in stacked_mats),
+        tuple(int(m.shape[1]) for m in stacked_mats),
+    )
+
+    def group_weights_from(lambda_pows, s: int, e: int):
+        lam_eq = jnp.stack(
+            [lambda_pows[trace_views[i].lambda_eq_idx] for i in range(s, e)]
+        )
+        lam_rot = jnp.stack(
+            [
+                lambda_pows[trace_views[i].lambda_rot_idx]
+                if trace_views[i].lambda_rot_idx is not None
+                else jnp.zeros((4,), jnp.uint32)
+                for i in range(s, e)
+            ]
+        )
+        return lam_eq, lam_rot
+
+    # ---- region rd0: round 0 + s_0 + fold at u_0 --------------------------
+    s0_deg = 2 * ((1 << l_skip) - 1)
+
+    def rd0_factory():
+        def body(tr, r_s, mats):
+            v = vm()
+            lam = tr.sample_ext()
+            lambda_pows = v.const_vec(
+                v.ext.epowers(lam, lam_idx if lam_idx else 1)
+            )
+            r0 = r_s[0]
+            eq_const = v.poly.eval_eq_uni_at_one(
+                l_skip, v.ext.escale(r0, omega_skip)
+            )
+            eq_r_per_lht = {}
+            for lht in lhts:
+                n_lift = max(lht - l_skip, 0)
+                eq_r_per_lht[lht] = eq_hypercube_dev(r_s[1 : 1 + n_lift])
+
+            shifts = [pow(g, c + 1, P) for c in range(2)]
+            B_z = 2 << l_skip
+            w_pows = roots_of_unity(l_skip)
+            z_points = []
+            for sh in shifts:
+                for i in range(1 << l_skip):
+                    z_points.append(sh * int(w_pows[i]) % P)
+
+            total_evals = v.ext.ezero((B_z,))
+            for s, e in groups:
+                lht = trace_views[s].slice.log_height
+                n = lht - l_skip
+                n_lift = max(n, 0)
+                lam_eq_dev, lam_rot_dev = group_weights_from(
+                    lambda_pows, s, e
+                )
+                eq_tab = eq_r_per_lht[lht]
+                krot_tab = jnp.roll(eq_tab, 1, axis=0)
+                cols = []
+                for i in range(s, e):
+                    tv = trace_views[i]
+                    mat = mats[tv.com_idx]
+                    sl = tv.slice
+                    cols.append(
+                        jax_slice(
+                            mat, sl.col_idx, sl.row_idx, sl.length(l_skip)
+                        )
+                    )
+                q_grid = coset_eval_chunks(
+                    jnp.stack(cols), l_skip, shifts, False
+                )
+                a_vec = reduce_zx(q_grid, lam_eq_dev, eq_tab)
+                b_vec = reduce_zx(q_grid, lam_rot_dev, eq_tab)
+                c_vec = reduce_zx(
+                    q_grid, lam_rot_dev, jf.ext_sub(krot_tab, eq_tab)
+                )
+                a_h, b_h, c_h = (v.ef(x) for x in (a_vec, b_vec, c_vec))
+                if n < 0:
+                    l_eff = l_skip + n
+                    omega_eff = pow(omega_skip, 1 << (-n), P)
+                    r_eff = v.ext.epow(r0, 1 << (-n))
+                else:
+                    l_eff, omega_eff, r_eff = l_skip, omega_skip, r0
+                z_vec = v.stack([v.ext.from_base(z) for z in z_points])
+                ind_b = v.poly.eval_in_uni(l_skip, n, z_vec)
+                eq_uni_r0_b = v.poly.eval_eq_uni(l_eff, z_vec, r_eff)
+                eq_uni_r0_rot_b = v.poly.eval_eq_uni(
+                    l_eff, z_vec, v.ext.escale(r_eff, omega_eff)
+                )
+                eq_uni_1_b = v.poly.eval_eq_uni_at_one(l_skip, z_vec)
+                term = v.ext.emul(eq_uni_r0_b, a_h)
+                term = v.ext.eadd(term, v.ext.emul(eq_uni_r0_rot_b, b_h))
+                term = v.ext.eadd(
+                    term, v.ext.emul(v.ext.emul(eq_const, eq_uni_1_b), c_h)
+                )
+                total_evals = v.ext.eadd(
+                    total_evals, v.ext.emul(term, ind_b)
+                )
+
+            grid = total_evals.reshape(2, 1 << l_skip, 4).transpose(1, 0, 2)
+            s0_coeffs_full = v.poly.from_geometric_cosets_evals(grid, g, g)
+            s0_coeffs = s0_coeffs_full[: s0_deg + 1]
+            tr.observe_slice(jnp.ravel(jnp.asarray(s0_coeffs)))
+            u0 = tr.sample_ext()
+
+            # ---- fold at u_0 ------------------------------------------
+            from .sumcheck import fold_ple
+
+            weights = barycentric_weights_dev(l_skip, u0)
+            q_evals = [fold_ple(m, l_skip, False, weights) for m in mats]
+
+            eq_uni_u0r0 = v.poly.eval_eq_uni(l_skip, u0, r0)
+            eq_uni_u0r0_rot = v.poly.eval_eq_uni(
+                l_skip, u0, v.ext.escale(r0, omega_skip)
+            )
+            eq_uni_u01 = v.poly.eval_eq_uni_at_one(l_skip, u0)
+
+            eq_list = []
+            krot_list = []
+            for lht in lhts:
+                tab = eq_r_per_lht[lht]
+                n = lht - l_skip
+                ind = v.poly.eval_in_uni(l_skip, n, u0)
+                if n < 0:
+                    omega_eff = pow(omega_skip, 1 << (-n), P)
+                    r_eff = v.ext.epow(r0, 1 << (-n))
+                    l_eff = l_skip + n
+                    eq_uni = v.poly.eval_eq_uni(l_eff, u0, r_eff)
+                    eq_uni_rot = v.poly.eval_eq_uni(
+                        l_eff, u0, v.ext.escale(r_eff, omega_eff)
+                    )
+                else:
+                    eq_uni, eq_uni_rot = eq_uni_u0r0, eq_uni_u0r0_rot
+                krot_gather = jnp.roll(tab, 1, axis=0)
+                c1 = v.ef_dev(v.ext.emul(ind, eq_uni_rot))
+                c2 = v.ef_dev(
+                    v.ext.emul(ind, v.ext.emul(eq_const, eq_uni_u01))
+                )
+                krot_list.append(
+                    jf.ext_add(
+                        jf.ext_mul(c1, tab),
+                        jf.ext_mul(c2, jf.ext_sub(krot_gather, tab)),
+                    )
+                )
+                eq_list.append(
+                    jf.ext_mul(v.ef_dev(v.ext.emul(ind, eq_uni)), tab)
+                )
+            return (
+                jnp.asarray(s0_coeffs),
+                u0,
+                tuple(q_evals),
+                tuple(eq_list),
+                tuple(krot_list),
+                lambda_pows,
+            )
+
+        return body
+
+    s0_coeffs, u0, q_evals, eq_list, krot_list, lambda_pows = run_region(
+        transcript, base_key + ("rd0",), rd0_factory, r_stack, stacked_mats
+    )
+
+    # eq(u, b) tilde accumulators per group, carried as (G, 4) arrays
+    eq_ub = tuple(
+        jnp.broadcast_to(
+            jnp.asarray(vm().ext.eone()), (e - s, 4)
+        ).astype(jnp.uint32)
+        for s, e in groups
+    )
+
+    from .gkr import _MLE_TAIL_LOG
+
+    min_n_lift = min(
+        max(trace_views[s].slice.log_height - l_skip, 0) for s, e in groups
+    )
+    scan_hi = min_n_lift
+    scan_lo = max(1, n_stack - _MLE_TAIL_LOG + 1)
+
+    # ---- unrolled-round blocks as single programs -------------------------
+    def blk_factory(rnd_lo, rnd_hi):
+        def factory():
+            def body(tr, q_evals, eq_tabs, krot_tabs, eq_ub, lambda_pows):
+                v = vm()
+                q_evals = list(q_evals)
+                eq_tabs = list(eq_tabs)
+                krot_tabs = list(krot_tabs)
+                eq_ub = list(eq_ub)
+                evals_out = []
+                u_out = []
+                for rnd in range(rnd_lo, rnd_hi + 1):
+                    s_evals = [v.ext.ezero(), v.ext.ezero()]
+                    for gi, (s, e) in enumerate(groups):
+                        lht = trace_views[s].slice.log_height
+                        n_lift = max(lht - l_skip, 0)
+                        hd = max(n_lift - rnd, 0)
+                        eq_tab = eq_tabs[lhts.index(lht)]
+                        krot_tab = krot_tabs[lhts.index(lht)]
+                        if rnd <= n_lift:
+                            lam_eq_dev, lam_rot_dev = group_weights_from(
+                                lambda_pows, s, e
+                            )
+                            cols = []
+                            for i in range(s, e):
+                                tv = trace_views[i]
+                                sl = tv.slice
+                                row_start = (sl.row_idx >> lht) << (hd + 1)
+                                cols.append(
+                                    jax_slice_ext(
+                                        q_evals[tv.com_idx],
+                                        sl.col_idx,
+                                        row_start,
+                                        2 << hd,
+                                    )
+                                )
+                            q_grid = jnp.stack(cols)
+                            for xi, x in enumerate((1, 2)):
+                                q_x = interp_pairs(q_grid, x)
+                                eq_x = interp_pairs(eq_tab[None], x)[0]
+                                krot_x = interp_pairs(krot_tab[None], x)[0]
+                                w = jf.ext_add(
+                                    jf.ext_mul(
+                                        lam_eq_dev[:, None, :], eq_x[None]
+                                    ),
+                                    jf.ext_mul(
+                                        lam_rot_dev[:, None, :],
+                                        krot_x[None],
+                                    ),
+                                )
+                                val = jf.ext_sum(
+                                    jf.ext_sum(jf.ext_mul(q_x, w), axis=1),
+                                    axis=0,
+                                )
+                                s_evals[xi] = v.ext.eadd(
+                                    s_evals[xi], v.ef(val)
+                                )
+                        else:
+                            eq0 = v.ef(eq_tab[0])
+                            krot0 = v.ef(krot_tab[0])
+                            g_size = e - s
+                            cols_i = np.asarray(
+                                [
+                                    trace_views[i].slice.col_idx
+                                    for i in range(s, e)
+                                ]
+                            )
+                            starts = np.asarray(
+                                [
+                                    (
+                                        trace_views[i].slice.row_idx
+                                        >> (l_skip + rnd)
+                                    )
+                                    << 1
+                                    for i in range(s, e)
+                                ]
+                            )
+                            b_bits = [
+                                (
+                                    trace_views[i].slice.row_idx
+                                    >> (l_skip + rnd - 1)
+                                )
+                                & 1
+                                for i in range(s, e)
+                            ]
+                            rows = starts[:, None] + np.arange(2)[None, :]
+                            pieces = []
+                            run_start = 0
+                            for i in range(1, g_size + 1):
+                                if (
+                                    i == g_size
+                                    or trace_views[s + i].com_idx
+                                    != trace_views[s + run_start].com_idx
+                                ):
+                                    com = trace_views[s + run_start].com_idx
+                                    pieces.append(
+                                        q_evals[com][
+                                            jnp.asarray(
+                                                cols_i[run_start:i]
+                                            )[:, None],
+                                            jnp.asarray(rows[run_start:i]),
+                                        ]
+                                    )
+                                    run_start = i
+                            q_pairs = v.ef(
+                                pieces[0]
+                                if len(pieces) == 1
+                                else jnp.concatenate(pieces, axis=0)
+                            )
+                            lam_eq_vals, lam_rot_vals = group_weights_from(
+                                lambda_pows, s, e
+                            )
+                            ub_base = eq_ub[gi]
+                            for xi, x in enumerate((1, 2)):
+                                q_x = v.ext.eadd(
+                                    q_pairs[:, 0],
+                                    v.ext.escale(
+                                        v.ext.esub(
+                                            q_pairs[:, 1], q_pairs[:, 0]
+                                        ),
+                                        x,
+                                    ),
+                                )
+                                eqb_vec = v.stack(
+                                    [
+                                        v.ext.from_base(
+                                            (1 + 2 * x * b - x - b) % P
+                                        )
+                                        for b in b_bits
+                                    ]
+                                )
+                                ub = v.ext.emul(ub_base, eqb_vec)
+                                acc = v.ext.emul(
+                                    lam_eq_vals,
+                                    v.ext.emul(q_x, v.ext.emul(eq0, ub)),
+                                )
+                                acc = v.ext.eadd(
+                                    acc,
+                                    v.ext.emul(
+                                        lam_rot_vals,
+                                        v.ext.emul(
+                                            q_x, v.ext.emul(krot0, ub)
+                                        ),
+                                    ),
+                                )
+                                s_evals[xi] = v.ext.eadd(
+                                    s_evals[xi], v.ext.esum(acc, axis=0)
+                                )
+
+                    for ev in s_evals:
+                        tr.observe_ext(ev)
+                    evals_out.append(v.stack(s_evals))
+                    u_rnd = tr.sample_ext()
+                    u_out.append(u_rnd)
+                    u_dev = v.ef_dev(u_rnd)
+                    q_evals = [fold_mle(q, u_dev) for q in q_evals]
+                    eq_tabs = [
+                        fold_mle_vec(tab, u_dev) if tab.shape[0] > 1 else tab
+                        for tab in eq_tabs
+                    ]
+                    krot_tabs = [
+                        fold_mle_vec(tab, u_dev) if tab.shape[0] > 1 else tab
+                        for tab in krot_tabs
+                    ]
+                    for gi, (s, e) in enumerate(groups):
+                        n_lift = max(
+                            trace_views[s].slice.log_height - l_skip, 0
+                        )
+                        if rnd > n_lift:
+                            b_vec = v.stack(
+                                [
+                                    v.ext.from_base(
+                                        (
+                                            trace_views[i].slice.row_idx
+                                            >> (l_skip + rnd - 1)
+                                        )
+                                        & 1
+                                    )
+                                    for i in range(s, e)
+                                ]
+                            )
+                            one = v.ext.eone()
+                            factor = v.ext.eadd(
+                                v.ext.emul(b_vec, u_rnd),
+                                v.ext.emul(
+                                    v.ext.esub(one, b_vec),
+                                    v.ext.esub(one, u_rnd),
+                                ),
+                            )
+                            eq_ub[gi] = v.ext.emul(eq_ub[gi], factor)
+                return (
+                    jnp.stack(evals_out),  # (R, 2, 4)
+                    jnp.stack(u_out),  # (R, 4)
+                    tuple(q_evals),
+                    tuple(eq_tabs),
+                    tuple(krot_tabs),
+                    tuple(eq_ub),
+                )
+
+            return body
+
+        return factory
+
+    def scan_factory(rnd0, L):
+        def factory():
+            def body(tr, q_evals, eq_tabs, krot_tabs, lambda_pows):
+                from ..fields import text
+                from .device_transcript import (
+                    EF_D,
+                    RATE,
+                    duplex_absorb_sample_ext,
+                )
+
+                group_meta = []
+                for s, e in groups:
+                    lht = trace_views[s].slice.log_height
+                    n_lift = lht - l_skip
+                    hd0 = n_lift - rnd0
+                    lam_eq_dev, lam_rot_dev = group_weights_from(
+                        lambda_pows, s, e
+                    )
+                    bases = [
+                        (trace_views[i].slice.row_idx >> lht) << (hd0 + 1)
+                        for i in range(s, e)
+                    ]
+                    cols = [
+                        trace_views[i].slice.col_idx for i in range(s, e)
+                    ]
+                    coms = [trace_views[i].com_idx for i in range(s, e)]
+                    group_meta.append(
+                        (lht, hd0, lam_eq_dev, lam_rot_dev, bases, cols, coms)
+                    )
+
+                def sbody(carry, j):
+                    state, q_bufs, eq_bufs, krot_bufs = carry
+                    s_evals = [
+                        jnp.asarray(text.ezero()),
+                        jnp.asarray(text.ezero()),
+                    ]
+                    for (
+                        lht,
+                        hd0,
+                        lam_eq_dev,
+                        lam_rot_dev,
+                        bases,
+                        cols,
+                        coms,
+                    ) in group_meta:
+                        eq_tab = eq_bufs[lhts.index(lht)]
+                        krot_tab = krot_bufs[lhts.index(lht)]
+                        length = 2 << hd0
+                        grid_cols = []
+                        for base, col, com in zip(bases, cols, coms):
+                            start = jnp.uint32(base) >> j
+                            grid_cols.append(
+                                jax.lax.dynamic_slice(
+                                    q_bufs[com],
+                                    (
+                                        jnp.uint32(col),
+                                        start,
+                                        jnp.uint32(0),
+                                    ),
+                                    (1, length, 4),
+                                )[0]
+                            )
+                        q_grid = jnp.stack(grid_cols)
+                        pair_mask = (
+                            jax.lax.iota(jnp.uint32, 1 << hd0)
+                            < (jnp.uint32(1 << hd0) >> j)
+                        )
+                        for xi, x in enumerate((1, 2)):
+                            q_x = interp_pairs(q_grid, x)
+                            eq_x = interp_pairs(eq_tab[None], x)[0]
+                            krot_x = interp_pairs(krot_tab[None], x)[0]
+                            w = jf.ext_add(
+                                jf.ext_mul(
+                                    lam_eq_dev[:, None, :], eq_x[None]
+                                ),
+                                jf.ext_mul(
+                                    lam_rot_dev[:, None, :], krot_x[None]
+                                ),
+                            )
+                            val = jnp.where(
+                                pair_mask[None, :, None],
+                                jf.ext_mul(q_x, w),
+                                jnp.uint32(0),
+                            )
+                            s_evals[xi] = text.eadd(
+                                s_evals[xi],
+                                jf.ext_sum(
+                                    jf.ext_sum(val, axis=1), axis=0
+                                ),
+                            )
+
+                    evals2 = jnp.stack(s_evals)
+                    state, u_rnd = duplex_absorb_sample_ext(
+                        state, evals2.reshape(-1)
+                    )
+
+                    def fold_front(mat):
+                        folded = fold_mle(mat, u_rnd)
+                        return jnp.concatenate(
+                            [folded, jnp.zeros_like(folded)], axis=1
+                        )
+
+                    def fold_front_vec(tab):
+                        folded = fold_mle_vec(tab, u_rnd)
+                        return jnp.concatenate(
+                            [folded, jnp.zeros_like(folded)], axis=0
+                        )
+
+                    q_bufs = tuple(fold_front(q) for q in q_bufs)
+                    eq_bufs = tuple(fold_front_vec(t) for t in eq_bufs)
+                    krot_bufs = tuple(fold_front_vec(t) for t in krot_bufs)
+                    return (state, q_bufs, eq_bufs, krot_bufs), (
+                        evals2,
+                        u_rnd,
+                    )
+
+                assert tr.absorb_idx == 0
+                init = (
+                    tr.state,
+                    tuple(jnp.asarray(q) for q in q_evals),
+                    tuple(jnp.asarray(t_) for t_ in eq_tabs),
+                    tuple(jnp.asarray(t_) for t_ in krot_tabs),
+                )
+                (state, q_bufs, eq_bufs, krot_bufs), (evals_all, u_all) = (
+                    jax.lax.scan(
+                        sbody, init, jnp.arange(L, dtype=jnp.uint32), length=L
+                    )
+                )
+                from .device_transcript import EF_D, RATE
+
+                tr.state = state
+                tr.absorb_idx = 0
+                tr.sample_idx = RATE - EF_D
+
+                scan_end = rnd0 + L - 1
+                q_true = 1 << (n_stack - scan_end)
+                q_out = tuple(q[:, :q_true] for q in q_bufs)
+                eq_out = []
+                krot_out = []
+                for i, lht in enumerate(lhts):
+                    n_lift = max(lht - l_skip, 0)
+                    t_true = max(1 << max(n_lift - scan_end, 0), 1)
+                    eq_out.append(eq_bufs[i][:t_true])
+                    krot_out.append(krot_bufs[i][:t_true])
+                return (
+                    evals_all,
+                    u_all,
+                    q_out,
+                    tuple(eq_out),
+                    tuple(krot_out),
+                )
+
+            return body
+
+        return factory
+
+    round_blocks = []  # ("u", evals (R,2,4), u (R,4)) | ("s", ...)
+    rnd = 1
+    while rnd <= n_stack:
+        if scan_lo <= rnd <= scan_hi:
+            L = scan_hi - rnd + 1
+            evals_all, u_all, q_evals, eq_list, krot_list = run_region(
+                transcript,
+                base_key + ("rd_scan", rnd, L),
+                scan_factory(rnd, L),
+                q_evals,
+                eq_list,
+                krot_list,
+                lambda_pows,
+            )
+            round_blocks.append(("s", evals_all, u_all))
+            rnd += L
+        else:
+            hi = rnd
+            while hi + 1 <= n_stack and not (
+                scan_lo <= hi + 1 <= scan_hi
+            ):
+                hi += 1
+            (
+                evals_all,
+                u_all,
+                q_evals,
+                eq_list,
+                krot_list,
+                eq_ub,
+            ) = run_region(
+                transcript,
+                base_key + ("rd_blk", rnd, hi),
+                blk_factory(rnd, hi),
+                q_evals,
+                eq_list,
+                krot_list,
+                eq_ub,
+                lambda_pows,
+            )
+            round_blocks.append(("u", evals_all, u_all))
+            rnd = hi + 1
+
+    # ---- stacking openings ------------------------------------------------
+    def open_factory():
+        def body(tr, q_evals):
+            cols_dev = [q[:, 0] for q in q_evals]
+            if cols_dev:
+                tr.observe_slice(
+                    jnp.concatenate([jnp.ravel(c) for c in cols_dev])
+                )
+            return tuple(cols_dev)
+
+        return body
+
+    cols_dev = run_region(
+        transcript, base_key + ("rd_open",), open_factory, q_evals
+    )
+
+    # ---- proof assembly ---------------------------------------------------
+    concrete = not isinstance(transcript.state, jax.core.Tracer)
+    u_stack = jnp.concatenate(
+        [u0[None]] + [blk[2] for blk in round_blocks], axis=0
+    )  # (n_stack + 1, 4)
+
+    payload = (s0_coeffs, round_blocks, cols_dev)
+    if concrete:
+        payload = jax.device_get(payload)
+    s0_h, blocks_h, cols_h = payload
+
+    sumcheck_round_polys: List[List[np.ndarray]] = []
+    for kind, evals_all, _u in blocks_h:
+        for j in range(evals_all.shape[0]):
+            sumcheck_round_polys.append(
+                [evals_all[j, 0], evals_all[j, 1]]
+            )
+
+    stacking_openings = []
+    for host in cols_h:
+        stacking_openings.append([host[c] for c in range(host.shape[0])])
+
+    proof = StackingProof(
+        univariate_round_coeffs=[s0_h[j] for j in range(s0_deg + 1)],
+        sumcheck_round_polys=sumcheck_round_polys,
+        stacking_openings=stacking_openings,
+    )
+    return proof, u_stack
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _u_cube_jit(l_skip: int):
+    """(n+1, 4) stacked u -> (l_skip + n, 4) u_cube: u0's bit powers then
+    the tail (one program; see Coordinator)."""
+    import jax as _jax
+
+    @_jax.jit
+    def f(u):
+        parts = []
+        cur = u[0]
+        for _ in range(l_skip):
+            parts.append(cur)
+            cur = jf.ext_mul(cur, cur)
+        return jnp.concatenate([jnp.stack(parts), u[1:]], axis=0)
+
+    return f
 
 
 def jax_slice(mat, col: int, row: int, length: int):

@@ -139,6 +139,15 @@ def prove_whir_opening(
                 f"prove_whir_opening: tree height {h} != expected {expected_h}"
             )
 
+    from .gkr import _scan_ok as _dev
+
+    if _dev(transcript) and tree_builder is None:
+        # device transcript (eager or segmented fused prover): region-jit
+        # implementation with an identical event schedule. The BN254 outer
+        # scheme's host tree_builder callback cannot live inside a traced
+        # region, so it keeps the per-op path below.
+        return _whir_device(transcript, params, committed, u)
+
     mu_pow_witness = transcript.grind(whir.mu_pow_bits)
     mu = transcript.sample_ext()
     total_width = sum(int(d.get_matrix().shape[0]) for d in committed)
@@ -159,7 +168,8 @@ def prove_whir_opening(
         contrib = jf.ext_sum(jf.mul(hatf[:, :, None], mu_dev[:, None, :]), axis=0)
         f_evals = contrib if f_evals is None else jf.ext_add(f_evals, contrib)
         off += w
-    w_evals = mobius_eq_hypercube_dev(v.stack(u))  # (2^m, 4)
+    u_arr = u if not isinstance(u, list) else v.stack(u)
+    w_evals = mobius_eq_hypercube_dev(u_arr)  # (2^m, 4)
 
     whir_sumcheck_polys: List[List[np.ndarray]] = []
     codeword_commits: List[np.ndarray] = []
@@ -385,3 +395,345 @@ def _interp_vec(vec, x: int):
     if x == 1:
         return t1
     return jf.ext_add(t0, jf.ext_scale(jf.ext_sub(t1, t0), jf.const(x)))
+
+
+def _whir_device(
+    transcript, params: SystemParams, committed: Sequence[StackedPcsData], u
+) -> WhirProof:
+    """Device-transcript WHIR opening: the same protocol flow as the host
+    body of :func:`prove_whir_opening`, restructured into region-jit
+    programs (:mod:`swirl.prover.regions`):
+
+    - ``w_in``: mu grind + squeeze, the mu-batched MLE build (zeta
+      transforms), and the Möbius eq weight table;
+    - ``w_rnd``: ONE program per WHIR round — k fold sub-rounds (evals,
+      absorbs, folding PoW grinds, alpha squeezes, MLE folds), the RS
+      commit (NTT + Poseidon2 Merkle), OOD evaluation, query-phase PoW +
+      batched index squeezes, batched row/path openings, and the gamma
+      weight update.
+
+    The eager fused prover pays one relay dispatch per region; the
+    segmented prover inlines the same bodies. Byte-identity with the host
+    path is CI-pinned (tests/test_fused.py / test_whir_pcs.py)."""
+    import jax
+
+    from .merkle import MerkleTree
+    from .regions import run_region
+    from .vmode import vm as _vm
+
+    v = _vm()
+    whir = params.whir
+    l_skip = params.l_skip
+    log_blowup = params.log_blowup
+    k = whir.k
+    num_rounds = whir.num_whir_rounds()
+
+    mats = [d.get_matrix() for d in committed]
+    widths = tuple(int(mat.shape[0]) for mat in mats)
+    total_width = sum(widths)
+    m = int(mats[0].shape[1]).bit_length() - 1
+    log_rs0 = m + log_blowup
+    u_arr = u if not isinstance(u, list) else v.stack(u)
+
+    base_key = (
+        "whir",
+        l_skip,
+        log_blowup,
+        k,
+        m,
+        widths,
+        int(whir.mu_pow_bits),
+        int(whir.folding_pow_bits),
+        int(whir.query_phase_pow_bits),
+        tuple(rd.num_queries for rd in whir.rounds),
+        int(u_arr.shape[0]),
+    )
+
+    # ---- region w_in: mu batch + weight table -----------------------------
+    def w_in_factory():
+        def body(tr, mats, u_a):
+            vv = _vm()
+            wit = tr.grind(whir.mu_pow_bits)
+            mu = tr.sample_ext()
+            mu_pows = vv.ext.epowers(mu, total_width)
+            f_evals = None
+            off = 0
+            for mat in mats:
+                w = int(mat.shape[0])
+                msg = rs_message(l_skip, mat)
+                hatf = zeta_transform(msg, m)  # (w, 2^m) base
+                mu_dev = vv.const_vec(
+                    vv.stack([mu_pows[off + i] for i in range(w)])
+                )
+                contrib = jf.ext_sum(
+                    jf.mul(hatf[:, :, None], mu_dev[:, None, :]), axis=0
+                )
+                f_evals = (
+                    contrib
+                    if f_evals is None
+                    else jf.ext_add(f_evals, contrib)
+                )
+                off += w
+            w_evals = mobius_eq_hypercube_dev(u_a)
+            return wit, f_evals, w_evals
+
+        return body
+
+    mu_pow_witness, f_evals, w_evals = run_region(
+        transcript, base_key + ("w_in",), w_in_factory, mats, u_arr
+    )
+
+    # ---- per-round regions ------------------------------------------------
+    rpqs = tuple(d.tree.rows_per_query for d in committed)
+
+    def round_factory(whir_round, cur_m_in, log_rs):
+        is_last = whir_round == num_rounds - 1
+        num_queries = whir.rounds[whir_round].num_queries
+        cur_m = cur_m_in - k
+
+        def factory():
+            def body(tr, f_evals, w_evals, qsrc):
+                vv = _vm()
+                fold_evals = []
+                fold_wits = []
+                for _ in range(k):
+                    evals = []
+                    for x in (1, 2):
+                        fx = _interp_vec(f_evals, x)
+                        wx = _interp_vec(w_evals, x)
+                        evals.append(
+                            jf.ext_sum(jf.ext_mul(fx, wx), axis=0)
+                        )
+                    evals2 = jnp.stack(evals)
+                    tr.observe_slice(evals2.reshape(-1))
+                    fold_wits.append(tr.grind(whir.folding_pow_bits))
+                    alpha = tr.sample_ext()
+                    f_evals = fold_mle_vec(f_evals, alpha)
+                    w_evals = fold_mle_vec(w_evals, alpha)
+                    fold_evals.append(evals2)
+
+                g_coeffs = mobius_transform(
+                    f_evals[None], cur_m, ext=True
+                )[0]
+                commit_root = None
+                y0 = None
+                z0 = None
+                g_rs = None
+                g_layers = None
+                final_poly_arr = None
+                if not is_last:
+                    padded = jnp.concatenate(
+                        [
+                            g_coeffs,
+                            jnp.zeros(
+                                (
+                                    (1 << (log_rs - 1)) - (1 << cur_m),
+                                    4,
+                                ),
+                                jnp.uint32,
+                            ),
+                        ],
+                        axis=0,
+                    )
+                    g_rs = ntt(padded[None], ext=True)  # (1, H, 4)
+                    g_tree = build_merkle_tree(g_rs, 1 << k, ext=True)
+                    g_layers = tuple(g_tree.layers)
+                    commit_root = g_layers[-1][:, 0]
+                    tr.observe_commit(commit_root)
+                    z0 = tr.sample_ext()
+                    pow_tab = _pow_table(z0, cur_m, base_field=False)
+                    y0 = jf.ext_sum(jf.ext_mul(g_coeffs, pow_tab), axis=0)
+                    tr.observe_ext(y0)
+                else:
+                    final_poly_arr = g_coeffs
+                    tr.observe_slice(jnp.ravel(g_coeffs))
+
+                qp_wit = tr.grind(whir.query_phase_pow_bits)
+                indices = tr.sample_bits_batch(log_rs - k, num_queries)
+
+                opened = []
+                proofs = []
+                if whir_round == 0:
+                    src_mats, src_layers = qsrc
+                    for ci in range(len(src_mats)):
+                        if num_queries:
+                            opened.append(
+                                get_opened_rows_batch(
+                                    src_mats[ci], indices, 1 << k, ext=False
+                                )
+                            )
+                            tree = MerkleTree(
+                                list(src_layers[ci]), rpqs[ci]
+                            )
+                            proofs.append(
+                                tree.batch_query_proofs_arr(indices)
+                            )
+                        else:
+                            opened.append([])
+                            proofs.append([])
+                else:
+                    src_codeword, src_layers = qsrc
+                    if num_queries:
+                        rows = get_opened_rows_batch(
+                            src_codeword, indices, 1 << k, ext=True
+                        )
+                        opened.append(rows[:, :, 0, :])  # (nq, 2^k, 4)
+                        tree = MerkleTree(list(src_layers), 1 << k)
+                        proofs.append(
+                            tree.batch_query_proofs_arr(indices)
+                        )
+                    else:
+                        opened.append([])
+                        proofs.append([])
+
+                zs = vv.pow_omega_batch(log_rs - k, indices)
+                gamma = tr.sample_ext()
+                if not is_last:
+                    upd = jf.ext_mul(
+                        gamma,
+                        eq_pows_hypercube_dev(z0, cur_m, base_field=False),
+                    )
+                    gamma_pows = vv.ext.epowers(gamma, num_queries + 2)
+                    if num_queries:
+                        zs_vec = jnp.asarray(zs)
+                        gp_dev = vv.const_vec(
+                            vv.stack(
+                                [
+                                    gamma_pows[i + 2]
+                                    for i in range(num_queries)
+                                ]
+                            )
+                        )
+                        chunk = 32  # bounds the (chunk, 2^m, 4) buffer
+                        for base in range(0, num_queries, chunk):
+                            zc = zs_vec[base : base + chunk]
+                            gc = gp_dev[base : base + chunk]
+                            tab = eq_pows_base_batch_dev(zc, cur_m)
+                            upd = jf.ext_add(
+                                upd,
+                                jf.ext_sum(
+                                    jf.mul(
+                                        tab[:, :, None], gc[:, None, :]
+                                    ),
+                                    axis=0,
+                                ),
+                            )
+                    w_evals = jf.ext_add(w_evals, upd)
+                return (
+                    jnp.stack(fold_evals),  # (k, 2, 4)
+                    jnp.stack(fold_wits),  # (k,)
+                    commit_root,
+                    y0,
+                    qp_wit,
+                    tuple(opened),
+                    tuple(proofs),
+                    final_poly_arr,
+                    f_evals,
+                    w_evals,
+                    g_rs,
+                    g_layers,
+                )
+
+            return body
+
+        return factory
+
+    codeword_commits: List = []
+    ood_values: List = []
+    folding_wits_blocks: List = []
+    query_phase_pow_witnesses: List = []
+    initial_opened_rows: List = [None] * len(committed)
+    initial_merkle_proofs: List = [None] * len(committed)
+    codeword_opened_values: List = []
+    codeword_merkle_proofs: List = []
+    final_poly_arr = None
+
+    cur_m = m
+    log_rs = log_rs0
+    rs_codeword = None
+    rs_layers = None
+    for whir_round in range(num_rounds):
+        if whir_round == 0:
+            qsrc = (
+                [d.get_rs_matrix() for d in committed],
+                [tuple(d.tree.layers) for d in committed],
+            )
+        else:
+            qsrc = (rs_codeword, rs_layers)
+        (
+            fold_evals,
+            fold_wits,
+            commit_root,
+            y0,
+            qp_wit,
+            opened,
+            proofs,
+            fp_arr,
+            f_evals,
+            w_evals,
+            g_rs,
+            g_layers,
+        ) = run_region(
+            transcript,
+            base_key + ("w_rnd", whir_round),
+            round_factory(whir_round, cur_m, log_rs),
+            f_evals,
+            w_evals,
+            qsrc,
+        )
+        folding_wits_blocks.append((fold_evals, fold_wits))
+        query_phase_pow_witnesses.append(qp_wit)
+        if whir_round == 0:
+            for ci in range(len(committed)):
+                initial_opened_rows[ci] = opened[ci]
+                initial_merkle_proofs[ci] = proofs[ci]
+        else:
+            codeword_opened_values.append(opened[0])
+            codeword_merkle_proofs.append(proofs[0])
+        if commit_root is not None:
+            codeword_commits.append(commit_root)
+            ood_values.append(y0)
+            rs_codeword = g_rs
+            rs_layers = g_layers
+        if fp_arr is not None:
+            final_poly_arr = fp_arr
+        cur_m -= k
+        log_rs -= 1
+
+    # ---- proof assembly (ONE batched fetch when concrete) -----------------
+    concrete = not isinstance(transcript.state, jax.core.Tracer)
+    payload = (
+        folding_wits_blocks,
+        codeword_commits,
+        ood_values,
+        query_phase_pow_witnesses,
+        final_poly_arr,
+    )
+    if concrete:
+        payload = jax.device_get(payload)
+    blocks_h, commits_h, oods_h, qp_h, fp_h = payload
+
+    whir_sumcheck_polys: List = []
+    folding_pow_witnesses: List = []
+    for fold_evals, fold_wits in blocks_h:
+        for j in range(fold_evals.shape[0]):
+            whir_sumcheck_polys.append(
+                [fold_evals[j, 0], fold_evals[j, 1]]
+            )
+            folding_pow_witnesses.append(fold_wits[j])
+
+    final_poly = [fp_h[i] for i in range(fp_h.shape[0])]
+
+    return WhirProof(
+        mu_pow_witness=mu_pow_witness,
+        whir_sumcheck_polys=whir_sumcheck_polys,
+        codeword_commits=commits_h,
+        ood_values=oods_h,
+        folding_pow_witnesses=folding_pow_witnesses,
+        query_phase_pow_witnesses=qp_h,
+        initial_round_opened_rows=initial_opened_rows,
+        initial_round_merkle_proofs=initial_merkle_proofs,
+        codeword_opened_values=codeword_opened_values,
+        codeword_merkle_proofs=codeword_merkle_proofs,
+        final_poly=final_poly,
+    )
