@@ -132,6 +132,36 @@ def permute(state, unroll: bool | None = None):
 from functools import partial
 
 
+@lru_cache(maxsize=None)
+def permute_shared():
+    """The permutation as a jitted callee in ROLLED form (fori_loop over
+    rounds, ~3 KB MLIR per batch shape): call sites inside larger traced
+    programs would otherwise inline the unrolled rounds per site (~54 KB
+    each, and a Merkle tower has one distinct batch shape per level) — the
+    dominant share of the region programs' MLIR against the remote compile
+    helper's size ceiling. Same field values; the hot commit path keeps the
+    Pallas kernels."""
+    return jax.jit(partial(permute, unroll=False))
+
+
+# When a traced program must stay under the remote compile helper's size
+# ceiling (region programs, swirl/prover/regions.py), the lane-major
+# dispatchers below route to the shared-callee XLA fallback instead of the
+# Pallas kernels: each pallas_call embeds a ~190 KB (2.4 MB for the tower)
+# Mosaic payload PER CALL SITE. Toggled per trace via compact_lowering().
+_COMPACT = [False]
+
+
+class compact_lowering:
+    def __enter__(self):
+        self._prev = _COMPACT[0]
+        _COMPACT[0] = True
+
+    def __exit__(self, *exc):
+        _COMPACT[0] = self._prev
+        return False
+
+
 @partial(jax.jit)
 def hash_rows(mat):
     """Hash each row of a (n, w) Monty-form matrix -> (n, 8) digests.
@@ -143,7 +173,7 @@ def hash_rows(mat):
     for i in range(0, w, RATE):
         chunk = mat[:, i : i + RATE]
         state = jax.lax.dynamic_update_slice(state, chunk, (0, 0))
-        state = permute(state)
+        state = permute_shared()(state)
     return state[:, :DIGEST]
 
 
@@ -151,7 +181,7 @@ def hash_rows(mat):
 def compress_pairs(left, right):
     """(n, 8), (n, 8) -> (n, 8) via truncated permutation."""
     state = jnp.concatenate([left, right], axis=-1)
-    return permute(state)[:, :DIGEST]
+    return permute_shared()(state)[:, :DIGEST]
 
 
 # ---------------------------------------------------------------------------
@@ -170,7 +200,7 @@ def hash_cols(matT):
     from ..tpu import poseidon2_pallas as pp
 
     w, n = int(matT.shape[0]), int(matT.shape[1])
-    if pp.usable(w, n):
+    if not _COMPACT[0] and pp.usable(w, n):
         return pp.hash_cols(matT)
     return jnp.transpose(hash_rows(jnp.transpose(matT)))
 
@@ -180,9 +210,40 @@ def compress_cols(pairs):
     from ..tpu import poseidon2_pallas as pp
 
     n = int(pairs.shape[1])
-    if pp.usable(WIDTH, n):
+    if not _COMPACT[0] and pp.usable(WIDTH, n):
         return pp.compress_cols(pairs)
-    return jnp.transpose(permute(jnp.transpose(pairs))[:, :DIGEST])
+    return jnp.transpose(permute_shared()(jnp.transpose(pairs))[:, :DIGEST])
+
+
+def merkle_tower_scan(digests) -> list:
+    """All binary-compression layers above a (8, n) lane-major digest layer
+    as ONE ``lax.scan`` over a fixed (8, n/2)-pair buffer.
+
+    Every level shares a single traced step body (the per-level distinct
+    shapes otherwise lower one ~11 KB permute callee EACH — a 2^19-leaf
+    tower cost ~500 KB of MLIR, the compile-helper ceiling problem). The
+    valid prefix front-aligns and halves each step; tail slots compress
+    garbage, which is masked out by the static per-level crops at the end.
+    Total compute is ~log2(n)/2 x the true tower work — irrelevant for the
+    region-program trees this serves. Bit-identical digests to
+    :func:`merkle_tower`."""
+    n = int(digests.shape[1])
+    if n <= 2:
+        return merkle_tower(digests)
+    levels = n.bit_length() - 1
+    m = n // 2
+
+    def step(cur, _):
+        left = cur[:, 0::2]
+        right = cur[:, 1::2]
+        comp = compress_cols(jnp.concatenate([left, right], axis=0))
+        nxt = jnp.concatenate(
+            [comp, jnp.zeros((DIGEST, n - m), jnp.uint32)], axis=1
+        )
+        return nxt, comp
+
+    _, ys = jax.lax.scan(step, digests, None, length=levels)
+    return [ys[j][:, : n >> (j + 1)] for j in range(levels)]
 
 
 def merkle_tower(digests) -> list:
@@ -192,10 +253,12 @@ def merkle_tower(digests) -> list:
     Large layers compress one level per kernel; once a layer fits the Pallas
     tower kernel (n <= 8 KiB digests) the remaining log2(n) levels run in a
     single launch (small layers would otherwise each pay a dispatch and fall
-    off the Pallas tile-size floor).
-    """
+    off the Pallas tile-size floor). Under :class:`compact_lowering` the
+    whole tower runs as one fixed-buffer scan instead (shared step body)."""
     from ..tpu import poseidon2_pallas as pp
 
+    if _COMPACT[0]:
+        return merkle_tower_scan(digests)
     layers = []
     cur = digests
     while cur.shape[1] > 1:

@@ -192,7 +192,11 @@ class Coordinator:
     ) -> Proof:
         params = mpk.params
         transcript = self.transcript
-        transcript.observe_commit(mpk.vk_pre_hash)
+        from .gkr import _scan_ok as _dev
+
+        device_path = _dev(transcript)
+        if not device_path:
+            transcript.observe_commit(mpk.vk_pre_hash)
 
         ctx = unsorted_ctx.sorted_for_stacking()
         num_airs = len(mpk.per_air)
@@ -213,21 +217,96 @@ class Coordinator:
             )
             public_values[air_id] = list(tc.public_values)
 
-        transcript.observe_commit(common_commit)
-        for air_id in range(num_airs):
-            pk = mpk.per_air[air_id]
-            vdata = trace_vdata[air_id]
-            if not pk.vk.is_required:
-                transcript.observe(1 if vdata is not None else 0)
-            if vdata is not None:
-                if pk.preprocessed_data is not None:
-                    transcript.observe_commit(pk.preprocessed_data.commitment)
-                else:
-                    transcript.observe(vdata.log_height)
-                for c in vdata.cached_commitments:
-                    transcript.observe_commit(c)
-            for pv in public_values[air_id]:
-                transcript.observe(pv)
+        if device_path:
+            # device transcript: the whole preamble (vk pre-hash, common
+            # commit, per-air vdata/public-value observes) as ONE region
+            # program. The commit itself has no transcript events, so
+            # absorbing the vk pre-hash after it keeps the event ORDER
+            # bit-identical to the host path.
+            from .regions import run_region
+
+            vkph = tuple(int(x) for x in np.asarray(mpk.vk_pre_hash).ravel())
+            pre_key = (
+                "preamble",
+                vkph,
+                tuple(
+                    (
+                        air_id,
+                        trace_vdata[air_id].log_height
+                        if trace_vdata[air_id] is not None
+                        else None,
+                        len(trace_vdata[air_id].cached_commitments)
+                        if trace_vdata[air_id] is not None
+                        else 0,
+                        mpk.per_air[air_id].vk.is_required,
+                        mpk.per_air[air_id].preprocessed_data is not None,
+                        tuple(int(p) for p in public_values[air_id]),
+                    )
+                    for air_id in range(num_airs)
+                ),
+            )
+
+            def pre_factory():
+                def body(tr, common_commit_a, prep_commits, cached_commits):
+                    tr.observe_commit(np.asarray(mpk.vk_pre_hash))
+                    tr.observe_commit(common_commit_a)
+                    for air_id in range(num_airs):
+                        pk = mpk.per_air[air_id]
+                        vdata = trace_vdata[air_id]
+                        if not pk.vk.is_required:
+                            tr.observe(1 if vdata is not None else 0)
+                        if vdata is not None:
+                            if pk.preprocessed_data is not None:
+                                tr.observe_commit(prep_commits[air_id])
+                            else:
+                                tr.observe(vdata.log_height)
+                            for c in cached_commits[air_id]:
+                                tr.observe_commit(c)
+                        for pv in public_values[air_id]:
+                            tr.observe(pv)
+                    return ()
+
+                return body
+
+            run_region(
+                transcript,
+                pre_key,
+                pre_factory,
+                jnp.asarray(common_commit),
+                {
+                    air_id: jnp.asarray(
+                        mpk.per_air[air_id].preprocessed_data.commitment
+                    )
+                    if mpk.per_air[air_id].preprocessed_data is not None
+                    else None
+                    for air_id in range(num_airs)
+                },
+                {
+                    air_id: [
+                        jnp.asarray(c)
+                        for c in trace_vdata[air_id].cached_commitments
+                    ]
+                    if trace_vdata[air_id] is not None
+                    else []
+                    for air_id in range(num_airs)
+                },
+            )
+        else:
+            transcript.observe_commit(common_commit)
+            for air_id in range(num_airs):
+                pk = mpk.per_air[air_id]
+                vdata = trace_vdata[air_id]
+                if not pk.vk.is_required:
+                    transcript.observe(1 if vdata is not None else 0)
+                if vdata is not None:
+                    if pk.preprocessed_data is not None:
+                        transcript.observe_commit(pk.preprocessed_data.commitment)
+                    else:
+                        transcript.observe(vdata.log_height)
+                    for c in vdata.cached_commitments:
+                        transcript.observe_commit(c)
+                for pv in public_values[air_id]:
+                    transcript.observe(pv)
 
         # stage: RAP constraints (GKR + batch sumcheck)
         traces = []

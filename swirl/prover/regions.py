@@ -83,13 +83,19 @@ def run_region(
 
         @jax.jit
         def run(state, *inner):
+            from ..hash import jposeidon2 as jp2
             from .device_transcript import DeviceTranscript
 
             tr = DeviceTranscript()
             tr.state = state
             tr.absorb_idx = entry_a
             tr.sample_idx = entry_s
-            out = body(tr, *inner)
+            # compact lowering: inside region programs, hashing/Merkle work
+            # routes through shared rolled callees instead of per-call-site
+            # Pallas payloads — the programs must stay under the remote
+            # compile helper's size ceiling (see jposeidon2.compact_lowering)
+            with jp2.compact_lowering():
+                out = body(tr, *inner)
             exit_cursors = (tr.absorb_idx, tr.sample_idx)
             if reg.exit_cursors is None:
                 reg.exit_cursors = exit_cursors

@@ -21,6 +21,26 @@ from swirl.prover.fused import prove_fused
 from swirl.testing.fixtures import FibonacciAir
 
 
+def test_spmd_segmented_mesh_small_fast():
+    """FAST-tier mesh conformance (round-4 verdict item 7): a tiny
+    SEGMENTED proof sharded over the 8-virtual-device mesh must be
+    byte-identical to the single-device host-path proof. Small enough
+    (16 rows, 5 stage programs at toy shapes) that routine CI exercises
+    the mesh path on every run, not only in the slow tier / driver dryrun."""
+    eng = StarkEngine(small_params(2, 3, 3))
+    air = FibonacciAir()
+    pk, vk = eng.keygen([air])
+    dpk = eng.transport_pk(pk)
+    ctx = ProvingContext(
+        [eng.context_for(0, air.generate_trace(0, 1, 16), air.pvs(0, 1, 16))]
+    )
+    host_bytes = encode_proof(eng.prove(dpk, ctx))
+    mesh = Mesh(np.array(jax.devices()), ("rows",))
+    proof = prove_fused(eng.backend, dpk, ctx, mode="segmented", mesh=mesh)
+    assert encode_proof(proof) == host_bytes
+    eng.verify(vk, proof)
+
+
 @pytest.mark.slow
 def test_spmd_full_proof_byte_identical():
     eng = StarkEngine(small_params(2, 3, 3))
