@@ -470,28 +470,65 @@ def fractional_sumcheck(
     assert layers[-1][0].shape[0] == 1
     layers.reverse()  # layers[t] now has 2^t entries
 
-    root_p, root_q = _ef(layers[0][0][0]), _ef(layers[0][1][0])
-    if assert_zero:
-        v.assert_zero(root_p, "LogUp fractional sum is non-zero")
-    else:
-        transcript.observe_ext(root_p)
-    transcript.observe_ext(root_q)
-
     claims: List[GkrLayerClaims] = []
     sumcheck_polys: List[List[List[np.ndarray]]] = []
-
-    # layer 1 claims checked directly by the verifier
     p1, q1 = layers[1]
-    cl = GkrLayerClaims(
-        p_xi_0=_ef(p1[0]), p_xi_1=_ef(p1[1]), q_xi_0=_ef(q1[0]), q_xi_1=_ef(q1[1])
-    )
-    claims.append(cl)
-    for c in (cl.p_xi_0, cl.q_xi_0, cl.p_xi_1, cl.q_xi_1):
-        transcript.observe_ext(c)
-    mu_1 = transcript.sample_ext()
-    xi_prev = [mu_1]
 
     from .sumcheck import eq_hypercube_dev
+
+    if _scan_ok(transcript):
+        # device path: the tree-root observe, layer-1 claim observes and
+        # the mu_1 squeeze run as ONE region program (7 per-op duplex
+        # dispatches otherwise); the claim VALUES surface through the
+        # batched assembly fetch below instead of eager slices.
+        from .regions import run_region
+
+        def root_factory():
+            def body(tr, l0, l1):
+                p0_, q0_ = l0
+                p1_, q1_ = l1
+                if not assert_zero:
+                    tr.observe_ext(p0_[0])
+                tr.observe_ext(q0_[0])
+                for c in (p1_[0], q1_[0], p1_[1], q1_[1]):
+                    tr.observe_ext(c)
+                mu = tr.sample_ext()
+                return (
+                    mu,
+                    jnp.stack([p0_[0], q0_[0]]),
+                    jnp.stack([p1_[0], p1_[1], q1_[0], q1_[1]]),
+                )
+
+            return body
+
+        mu_1, roots2, claims1 = run_region(
+            transcript,
+            ("gkr_root", bool(assert_zero)),
+            root_factory,
+            layers[0],
+            layers[1],
+        )
+        xi_prev = [mu_1]
+    else:
+        root_p, root_q = _ef(layers[0][0][0]), _ef(layers[0][1][0])
+        if assert_zero:
+            v.assert_zero(root_p, "LogUp fractional sum is non-zero")
+        else:
+            transcript.observe_ext(root_p)
+        transcript.observe_ext(root_q)
+
+        # layer 1 claims checked directly by the verifier
+        cl = GkrLayerClaims(
+            p_xi_0=_ef(p1[0]),
+            p_xi_1=_ef(p1[1]),
+            q_xi_0=_ef(q1[0]),
+            q_xi_1=_ef(q1[1]),
+        )
+        claims.append(cl)
+        for c in (cl.p_xi_0, cl.q_xi_0, cl.p_xi_1, cl.q_xi_1):
+            transcript.observe_ext(c)
+        mu_1 = transcript.sample_ext()
+        xi_prev = [mu_1]
 
     if _scan_ok(transcript):
         # device path: the scan-tail layers (head == 0) run as GROUPED
@@ -537,12 +574,24 @@ def fractional_sumcheck(
             transcript.absorb_idx = 0
             transcript.sample_idx = _EF_SAMPLE_IDX
             group_blocks.append((rnd_lo, rnd_hi, evals_g, claims_g))
+        # layers above the scan tail: per-op head rounds by default (their
+        # full-size buffers are where one big program has historically gone
+        # 32x tile-padded); SWIRL_GKR_BIG_LAYER_JIT=1 runs each as ONE
+        # program for on-chip A/B (stride-2 pair splits should now hold the
+        # (m, 4) layout rule at these sizes too)
+        big_jit = os.environ.get("SWIRL_GKR_BIG_LAYER_JIT") == "1"
         for rnd in range(n_tail + 1, total_rounds):
             head = rnd - _TAIL_LOG
             p_next, q_next = layers[rnd + 1]
-            state, evals_all, claims4, xi_stack = _layer_big(
-                transcript, rnd, head, p_next, q_next, xi_stack
-            )
+            if big_jit:
+                fn = _layer_full_jit(rnd, head, transcript.sample_idx)
+                state, evals_all, claims4, xi_stack = fn(
+                    transcript.state, p_next, q_next, xi_stack
+                )
+            else:
+                state, evals_all, claims4, xi_stack = _layer_big(
+                    transcript, rnd, head, p_next, q_next, xi_stack
+                )
             transcript.state = state
             transcript.absorb_idx = 0
             transcript.sample_idx = _EF_SAMPLE_IDX
@@ -553,10 +602,19 @@ def fractional_sumcheck(
         # (per-element jnp slicing was ~1000 relay dispatches); under an
         # outer trace the slices are free symbolic ops
         concrete = not isinstance(transcript.state, jax.core.Tracer)
-        if concrete and (group_blocks or big_blocks):
-            group_blocks, big_blocks = jax.device_get(
-                (group_blocks, big_blocks)
+        if concrete:
+            group_blocks, big_blocks, roots2, claims1 = jax.device_get(
+                (group_blocks, big_blocks, roots2, claims1)
             )
+        root_p, root_q = _ef(roots2[0]), _ef(roots2[1])
+        claims.append(
+            GkrLayerClaims(
+                p_xi_0=_ef(claims1[0]),
+                p_xi_1=_ef(claims1[1]),
+                q_xi_0=_ef(claims1[2]),
+                q_xi_1=_ef(claims1[3]),
+            )
+        )
 
         def _emit_layer(rnd, evals_all, claims4):
             sumcheck_polys.append(
