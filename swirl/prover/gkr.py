@@ -439,6 +439,27 @@ def _ef(x):
     return vm().ef(x)
 
 
+def _sync_mark(label: str, arr) -> None:
+    """SWIRL_GKR_SPANS=1: drain the device queue (tiny fetch) and print a
+    timestamped mark — on-chip bisection of the eager GKR wall time, where
+    async dispatch hides which phase the relay actually spends time in."""
+    import os
+
+    if os.environ.get("SWIRL_GKR_SPANS") != "1":
+        return
+    import sys
+    import time
+
+    import jax as _jax
+
+    if isinstance(arr, _jax.core.Tracer):
+        return
+    np.asarray(_jax.device_get(jnp.ravel(arr)[:1]))
+    print(
+        f"gkr-span {label} +{time.perf_counter():.3f}", file=sys.stderr, flush=True
+    )
+
+
 def fractional_sumcheck(
     transcript: Transcript, p_evals, q_evals, assert_zero: bool = True
 ) -> FracSumcheckResult:
@@ -462,11 +483,14 @@ def fractional_sumcheck(
         if os.environ.get("SWIRL_GKR_COMBINE_PER_OP") == "1"
         else _combine_layer
     )
+    _sync_mark("frac-entry", layers[0][0])
     while layers[-1][0].shape[0] > _COMBINE_JIT_MAX:
         layers.append(tuple(_combine_big(*layers[-1])))
+    _sync_mark("combines", layers[-1][0])
     remaining = int(layers[-1][0].shape[0]).bit_length() - 1
     if remaining > 0:
         layers.extend(_combine_chain_jit(remaining)(*layers[-1]))
+    _sync_mark("chain", layers[-1][0])
     assert layers[-1][0].shape[0] == 1
     layers.reverse()  # layers[t] now has 2^t entries
 
@@ -508,6 +532,7 @@ def fractional_sumcheck(
             layers[0],
             layers[1],
         )
+        _sync_mark("root-region", mu_1)
         xi_prev = [mu_1]
     else:
         root_p, root_q = _ef(layers[0][0][0]), _ef(layers[0][1][0])
@@ -574,12 +599,14 @@ def fractional_sumcheck(
             transcript.absorb_idx = 0
             transcript.sample_idx = _EF_SAMPLE_IDX
             group_blocks.append((rnd_lo, rnd_hi, evals_g, claims_g))
-        # layers above the scan tail: per-op head rounds by default (their
-        # full-size buffers are where one big program has historically gone
-        # 32x tile-padded); SWIRL_GKR_BIG_LAYER_JIT=1 runs each as ONE
-        # program for on-chip A/B (stride-2 pair splits should now hold the
-        # (m, 4) layout rule at these sizes too)
-        big_jit = os.environ.get("SWIRL_GKR_BIG_LAYER_JIT") == "1"
+            _sync_mark(f"group-{rnd_lo}-{rnd_hi}", state)
+        # layers above the scan tail: ONE program per layer by default —
+        # A/B-measured on the chip in round 5 (2^20x64): 17.4 s e2e vs
+        # 19.8 s with the per-op head path (the historical 32x tile padding
+        # did not reproduce with stride-2 pair splits, though big-layer
+        # execution remains well above the VPU bound — see STATUS).
+        # SWIRL_GKR_BIG_LAYER_JIT=0 restores the per-op path.
+        big_jit = os.environ.get("SWIRL_GKR_BIG_LAYER_JIT", "1") == "1"
         for rnd in range(n_tail + 1, total_rounds):
             head = rnd - _TAIL_LOG
             p_next, q_next = layers[rnd + 1]
@@ -596,6 +623,7 @@ def fractional_sumcheck(
             transcript.absorb_idx = 0
             transcript.sample_idx = _EF_SAMPLE_IDX
             big_blocks.append((rnd, evals_all, claims4))
+            _sync_mark(f"big-{rnd}", state)
 
         # proof assembly: in the eager prover the stacked outputs are
         # concrete — fetch them in ONE device_get and slice with numpy
@@ -606,6 +634,7 @@ def fractional_sumcheck(
             group_blocks, big_blocks, roots2, claims1 = jax.device_get(
                 (group_blocks, big_blocks, roots2, claims1)
             )
+            _sync_mark("assembly-fetch", transcript.state)
         root_p, root_q = _ef(roots2[0]), _ef(roots2[1])
         claims.append(
             GkrLayerClaims(
