@@ -80,7 +80,7 @@ def bench_gkr_layer(log_pairs: int, repeats: int):
     lam = _rand((4,), seed=9)
 
     @jax.jit
-    def run(k):
+    def run_(k, cols0, lam):
         def body(i, cols):
             evals3 = _gkr_round_evals(cols, lam)
             folded = _gkr_fold(cols, evals3[0])
@@ -92,6 +92,7 @@ def bench_gkr_layer(log_pairs: int, repeats: int):
         out = jax.lax.fori_loop(0, k, body, cols0)
         return out[1][0]
 
+    run = lambda k: run_(k, cols0, lam)
     per_s = _measure(run, repeats)
     # lower bound: read five (m,4) EF columns twice (evals pass + fold
     # pass; a perfectly fused kernel reads once — keep the conservative
@@ -138,7 +139,7 @@ def bench_round0_dag(log_rows: int, width: int, repeats: int):
     shifts = [pow(GENERATOR, c + 1, P_) for c in range(2)]
 
     @jax.jit
-    def run(k):
+    def run_(k, trace, lam_pows, xi):
         sels_g = coset_eval_chunks(
             selectors_matrix(rows, l_skip), l_skip, shifts, False
         )
@@ -156,6 +157,7 @@ def bench_round0_dag(log_rows: int, width: int, repeats: int):
 
         return jax.lax.fori_loop(0, k, body, trace)[0, :1]
 
+    run = lambda k: run_(k, trace, lam_pows, xi)
     per_s = _measure(run, repeats)
     n_cosets = 2
     grid_cells = width * rows * n_cosets
@@ -181,7 +183,7 @@ def bench_whir_fold(log_m: int, repeats: int):
     w0 = _rand((m, 4), seed=12)
 
     @jax.jit
-    def run(k):
+    def run_(k, f0, w0):
         def body(i, fw):
             f, w = fw
             evals = []
@@ -200,6 +202,7 @@ def bench_whir_fold(log_m: int, repeats: int):
         out = jax.lax.fori_loop(0, k, body, (f0, w0))
         return out[0][0]
 
+    run = lambda k: run_(k, f0, w0)
     per_s = _measure(run, repeats)
     hbm = 2 * m * 16 + 2 * (m // 2) * 16 * 2
     ef_muls = (m // 2) * (2 * 3 + 2)

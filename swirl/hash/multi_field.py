@@ -163,6 +163,8 @@ class MultiFieldTranscript:
         """Observe a BN254 digest (int): `absorb_slice` semantics —
         invalidate samples, flush pending observes, absorb directly."""
         assert isinstance(digest, (int, np.integer)), "outer digests are scalars"
+        if self._record:
+            self.log.append(("observe", int(digest)))
         self._samples.clear()
         self._flush()
         self._sponge.absorb(int(digest))
@@ -212,9 +214,63 @@ class MultiFieldTranscript:
             return 0
         w = 0
         while True:
-            probe = self.clone()
+            probe = self.clone()  # probes never record/validate events
             if probe.check_witness(bits, w):
                 ok = self.check_witness(bits, w)
                 assert ok
                 return w
             w += 1
+
+
+class MultiFieldTranscriptValidator(MultiFieldTranscript):
+    """Replays a recorded outer-transcript log, failing on the first
+    divergence — the BN254 peer of
+    :class:`swirl.transcript.TranscriptValidator` (reference
+    ``DuplexSpongeValidator`` precedent). Commit digests are validated as
+    full BN254 scalars; felts and sampled digits as BabyBear values."""
+
+    __slots__ = ("_expected", "_pos")
+
+    def __init__(self, log):
+        super().__init__()
+        self._expected = list(log)
+        self._pos = 0
+
+    def _next(self, kind: str, value: int) -> None:
+        from ..transcript import TranscriptDivergence
+
+        if self._pos >= len(self._expected):
+            raise TranscriptDivergence(
+                f"transcript log exhausted at event {self._pos}: "
+                f"replay produced ({kind}, {value})"
+            )
+        exp_kind, exp_value = self._expected[self._pos]
+        if (exp_kind, exp_value) != (kind, value):
+            raise TranscriptDivergence(
+                f"transcript divergence at event {self._pos}: recorded "
+                f"({exp_kind}, {exp_value}), replay ({kind}, {value})"
+            )
+        self._pos += 1
+
+    def observe(self, value) -> None:
+        v = int(value) % P
+        self._next("observe", v)
+        super().observe(v)
+
+    def observe_commit(self, digest) -> None:
+        self._next("observe", int(digest))
+        super().observe_commit(digest)
+
+    def sample(self) -> int:
+        v = super().sample()
+        self._next("sample", v)
+        return v
+
+    def finish(self) -> None:
+        from ..transcript import TranscriptDivergence
+
+        if self._pos != len(self._expected):
+            raise TranscriptDivergence(
+                f"transcript log not fully consumed: {self._pos} of "
+                f"{len(self._expected)} events replayed"
+            )

@@ -88,11 +88,53 @@ def golden_cases() -> Dict[str, Callable]:
         trace = air.generate_trace(1, 1)
         return params, [air], [(trace, air.pvs(1, 1), [])]
 
+    def cached_preprocessed():
+        # cached-main partitions AND a preprocessed AIR in ONE proof
+        # (round-4 verdict item 9: pin the cached + preprocessed paths)
+        from swirl.testing.fixtures import MultiCachedAir
+
+        params = test_system_params_small(2, 6, 3)
+        mc = MultiCachedAir()
+        common, cached = MultiCachedAir.generate_traces(16, seed=5)
+        sels = [i % 2 == 0 for i in range(16)]
+        fsel = FibonacciSelectorAir(sels)
+        ftrace = fsel.generate_trace(2, 3)
+        return (
+            params,
+            [mc, fsel],
+            [
+                (common, [], cached),
+                (ftrace, fsel.pvs(2, 3), []),
+            ],
+        )
+
+    def outer():
+        # BN254-outer hash scheme (engine-level scheme switch): pins the
+        # multi-field transcript schedule + pre-hash (round-4 verdict
+        # item 9); proof/vk byte fixtures are inner-codec-only
+        params = test_system_params_small(2, 6, 3)
+        air = FibonacciAir()
+        trace = air.generate_trace(0, 1, 64)
+        return params, [air], [(trace, air.pvs(0, 1, 64), [])]
+
     return {
         "fib": fib,
         "interactions": interactions,
         "preprocessed": preprocessed,
+        "cached_preprocessed": cached_preprocessed,
+        "outer": outer,
     }
+
+
+# per-case hash scheme (None = default BabyBear Poseidon2)
+CASE_SCHEME = {"outer": "bn254-outer"}
+
+
+def case_has_codec(name: str) -> bool:
+    """Whether vk/proof byte fixtures exist for this case (the versioned
+    codec serializes the inner BabyBear scheme's digest layout only — the
+    reference codec.rs is likewise inner-config-specific)."""
+    return CASE_SCHEME.get(name) is None
 
 
 def encode_transcript_log(log: List[Tuple[str, int]]) -> bytes:
@@ -120,7 +162,7 @@ def build_case(name: str):
     from swirl.transcript import Transcript
 
     params, airs, ctxs = golden_cases()[name]()
-    eng = StarkEngine(params)
+    eng = StarkEngine(params, hash_scheme=CASE_SCHEME.get(name))
     pk, vk = eng.keygen(airs)
     per_trace = [
         eng.context_for(i, cm, pvs, cached)
@@ -128,14 +170,21 @@ def build_case(name: str):
     ]
     ctx = ProvingContext(per_trace)
     dpk = eng.transport_pk(pk)
-    transcript = Transcript(record=True)
+    transcript = eng.scheme.new_transcript(record=True)
     proof = eng.prove(dpk, ctx, transcript=transcript)
     eng.verify(vk, proof)
-    pre_hash_hex = "".join(f"{int(x):08x}" for x in np.asarray(vk.pre_hash).ravel())
+    if case_has_codec(name):
+        pre_hash_hex = "".join(
+            f"{int(x):08x}" for x in np.asarray(vk.pre_hash).ravel()
+        )
+        vk_bytes, proof_bytes = encode_vk(vk), encode_proof(proof)
+    else:
+        pre_hash_hex = f"{int(vk.pre_hash):064x}"  # one BN254 scalar
+        vk_bytes, proof_bytes = b"", b""
     return (
-        encode_vk(vk),
+        vk_bytes,
         pre_hash_hex,
-        encode_proof(proof),
+        proof_bytes,
         list(transcript.log),
         vk,
         proof,
@@ -156,12 +205,13 @@ def regenerate(names=None) -> None:
     for name in names or golden_cases():
         vk_bytes, pre_hash_hex, proof_bytes, log, _, _ = build_case(name)
         p = paths_for(name)
-        with open(p["vk"], "wb") as f:
-            f.write(vk_bytes)
+        if case_has_codec(name):
+            with open(p["vk"], "wb") as f:
+                f.write(vk_bytes)
+            with open(p["proof"], "wb") as f:
+                f.write(proof_bytes)
         with open(p["prehash"], "w") as f:
             f.write(pre_hash_hex + "\n")
-        with open(p["proof"], "wb") as f:
-            f.write(proof_bytes)
         with open(p["transcript"], "wb") as f:
             f.write(encode_transcript_log(log))
         print(

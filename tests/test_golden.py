@@ -17,7 +17,9 @@ import pytest
 
 from swirl.codec import decode_proof, decode_vk, encode_proof
 from swirl.testing.golden import (
+    CASE_SCHEME,
     build_case,
+    case_has_codec,
     decode_transcript_log,
     golden_cases,
     paths_for,
@@ -62,6 +64,8 @@ def test_reproduces_golden_bytes(built, name):
     assert pre_hash_hex == _read(p["prehash"]).decode().strip(), (
         f"{name}: vk pre-hash drifted (keygen serialization or hash change)"
     )
+    if not case_has_codec(name):
+        return  # outer scheme: transcript + pre-hash fixtures only
     assert vk_bytes == _read(p["vk"]), f"{name}: vk codec bytes drifted"
     assert proof_bytes == _read(p["proof"]), (
         f"{name}: proof bytes drifted with an IDENTICAL transcript — "
@@ -76,6 +80,8 @@ def test_golden_proof_verifies_today(built, name):
     when the prover moved in lockstep."""
     from swirl.engine import StarkEngine
 
+    if not case_has_codec(name):
+        pytest.skip("outer scheme has no inner-codec byte fixtures")
     _, _, _, _, vk, _ = built[name]
     p = paths_for(name)
     proof = decode_proof(_read(p["proof"]))
@@ -95,7 +101,12 @@ def test_verifier_replays_prover_transcript(built, name):
 
     _, _, _, _, vk, proof = built[name]
     golden_log = decode_transcript_log(_read(paths_for(name)["transcript"]))
-    validator = TranscriptValidator(golden_log)
-    eng = StarkEngine(vk.params)
+    if case_has_codec(name):
+        validator = TranscriptValidator(golden_log)
+    else:
+        from swirl.hash.multi_field import MultiFieldTranscriptValidator
+
+        validator = MultiFieldTranscriptValidator(golden_log)
+    eng = StarkEngine(vk.params, hash_scheme=CASE_SCHEME.get(name))
     eng.verify(vk, proof, transcript=validator)
     validator.finish()
