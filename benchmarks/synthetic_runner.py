@@ -62,7 +62,27 @@ def replay_reth(args) -> int:
         random.Random(args.seed).shuffle(idxs)
         sample = sorted(idxs[:n])
 
-    params = app_params_with_100_bits_security(args.max_log_height)
+    # params must admit the workload's constraint degree (the captured reth
+    # profile has degree-4 AIRs; the app preset's default cap is 3)
+    gdeg = max(
+        (segments[i].get("max_constraint_degree", 3) for i in sample),
+        default=3,
+    )
+    if gdeg <= 3:
+        params = app_params_with_100_bits_security(args.max_log_height)
+    else:
+        from swirl.params import WhirProximityStrategy, params_with_100_bits_security
+
+        params = params_with_100_bits_security(
+            log_blowup=1,
+            l_skip=4,
+            n_stack=max(args.max_log_height - 4, 0),
+            w_stack=2048,
+            folding_pow_bits=5,
+            mu_pow_bits=15,
+            proximity=WhirProximityStrategy("unique"),
+            max_constraint_degree=gdeg,
+        )
     results = []
     total_keygen_ms = 0.0
     total_prove_ms = 0.0

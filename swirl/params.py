@@ -232,11 +232,17 @@ MAX_APP_LOG_STACKED_HEIGHT = 24
 
 def _logup_params_100_bits(log2_pcs_list_size: float = 0.0) -> LogUpSecurityParameters:
     """LogUp parameters with grinding calibrated for 100-bit security,
-    accounting for the PCS list-size union bound."""
+    accounting for the PCS list-size union bound.
+
+    Reference-exact (``stark-sdk/src/config/log_up_params.rs:16-48``):
+    max_interaction_count = |BabyBear|, log_max_message_length = 7 (the
+    captured reth workload carries 32-felt messages), and pow_bits floored
+    at 18 to keep the historical baseline margin for unique decoding."""
     import math
 
-    max_interaction_count = 1 << 27
-    log_max_message_length = 5
+    max_interaction_count = 2013265921  # BabyBear::ORDER_U32
+    log_max_message_length = 7
+    min_pow_bits = 18  # MIN_BABY_BEAR_LOGUP_POW_BITS
     challenge_bits = 4 * math.log2(2013265921)
     base = (
         challenge_bits
@@ -244,7 +250,9 @@ def _logup_params_100_bits(log2_pcs_list_size: float = 0.0) -> LogUpSecurityPara
         - log_max_message_length
         - log2_pcs_list_size
     )
-    pow_bits = max(0, math.ceil(SECURITY_BITS_TARGET - base))
+    pow_bits = max(
+        min_pow_bits, math.ceil(SECURITY_BITS_TARGET - base)
+    )
     return LogUpSecurityParameters(
         max_interaction_count=max_interaction_count,
         log_max_message_length=log_max_message_length,

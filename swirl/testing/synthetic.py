@@ -76,6 +76,9 @@ def load_segment_atlas(path: str, max_log_height: int = 22) -> List[dict]:
                 "segment_idx": seg["segment_idx"],
                 "clamped": clamped,
                 "shapes": shapes,
+                "max_constraint_degree": int(
+                    seg.get("global_max_constraint_degree", 3)
+                ),
             }
         )
     return out
