@@ -37,14 +37,21 @@ from .vmode import vm
 
 
 def _pair_split(col):
-    """(m, 4) -> even/odd element pairs as two (m/2, 4) views.
+    """(m, 4) -> logical pair halves as two (m/2, 4) CONTIGUOUS views.
 
-    Stride-2 slices on dim0, NOT ``reshape(-1, 2, 4)`` + index: the 3-D
-    form materializes (m, 1, 4) temps that XLA:TPU tiles T(1,128) with the
-    4-axis minor — 32x padding (observed as a 20 GB compile-time HBM
-    requirement for a 256 MB layer combine). Keeping every intermediate
-    (m, 4) preserves the big-axis-minor layout rule."""
-    return col[0::2], col[1::2]
+    The GKR device path keeps every MLE in BIT-REVERSED index order (the
+    input is permuted once at fractional_sumcheck entry, and the eq tables
+    are built bit-reversed), so the logical pair (2i, 2i+1) lives at
+    positions (i, i + m/2): both halves are contiguous slices. The
+    previous natural-order layout needed stride-2 dim0 slices, which
+    defeat the TPU's (8,128) lane tiling — A/B on the v5e at 2^23: 369.6
+    ms/iter stride-2 vs 46.4 ms contiguous (8x). Folding halves keeps the
+    result bit-reversed recursively (the same recursion the natural-order
+    NTT in prover/ntt.py exploits), and index 0 — where the final claims
+    live — is a fixed point of bit reversal, so transcripts and proof
+    values are unchanged (CI byte-identity pins this)."""
+    h = int(col.shape[0]) // 2
+    return col[:h], col[h:]
 
 
 @jax.jit
@@ -133,7 +140,17 @@ def _layer_scan_step_jit(n_pairs: int):
     @jax.jit
     def step(state, cols, active_pairs, lam_dev):
         mask = jax.lax.iota(jnp.uint32, n_pairs) < active_pairs  # bool
-        splits = [_pair_split(c) for c in cols]  # five ((n_pairs,4) x2)
+        # bit-reversed halves with a DYNAMIC active size: t0 is the buffer
+        # front (active evens live in rows < active_pairs), t1 starts at the
+        # ACTIVE half (rows beyond the active region are zeros, so folded
+        # tail rows stay zero without extra masking)
+        splits = []
+        for c in cols:
+            t0 = c[:n_pairs]
+            t1 = jax.lax.dynamic_slice(
+                c, (active_pairs, jnp.uint32(0)), (n_pairs, 4)
+            )
+            splits.append((t0, t1))
         evs = []
         for x in (1, 2, 3):
             if x == 1:
@@ -197,7 +214,7 @@ def _layer_big(transcript, rnd, head, p_next, q_next, xi_stack):
     from .sumcheck import eq_hypercube_dev
 
     lam_dev = jnp.asarray(transcript.sample_ext())
-    eq_tab = eq_hypercube_dev(xi_stack)
+    eq_tab = eq_hypercube_dev(xi_stack, bitrev=True)
     p0, p1v = _pair_split(p_next)
     q0, q1v = _pair_split(q_next)
     cols = (eq_tab, p0, q0, p1v, q1v)
@@ -260,7 +277,7 @@ def _layer_body(state, p_next, q_next, xi_stack, entry_si: int, rnd: int, head: 
         si = 8
     lam_dev = jax.lax.slice(state, (si - EF_D_,), (si,))[::-1]
 
-    eq_tab = eq_hypercube_dev(xi_stack)
+    eq_tab = eq_hypercube_dev(xi_stack, bitrev=True)
     p0, p1v = _pair_split(p_next)
     q0, q1v = _pair_split(q_next)
     cols = (eq_tab, p0, q0, p1v, q1v)
@@ -472,8 +489,19 @@ def fractional_sumcheck(
     total_rounds = int(p_evals.shape[0]).bit_length() - 1
     assert p_evals.shape[0] == 1 << total_rounds
 
-    # build the layer stack: layers[t] has 2^t fractions; layers[total]=input
-    layers = [(jnp.asarray(p_evals), jnp.asarray(q_evals))]
+    # build the layer stack: layers[t] has 2^t fractions; layers[total]=input.
+    # The bulk MLEs live in BIT-REVERSED index order end to end (one gather
+    # here; see _pair_split) — combines, layer folds and eq tables all pair
+    # contiguous halves, and the outputs (pair sums, index-0 claims) are
+    # unchanged.
+    from .sumcheck import bitrev_permute
+
+    layers = [
+        (
+            bitrev_permute(jnp.asarray(p_evals)),
+            bitrev_permute(jnp.asarray(q_evals)),
+        )
+    ]
     # biggest levels per-op (proven layouts above _COMBINE_JIT_MAX), the
     # rest of the tree as one chained program
     import os
@@ -682,7 +710,7 @@ def fractional_sumcheck(
         # columns over y in H_rnd: p(0,y)=p_next[2y], p(1,y)=p_next[2y+1]
         p0, p1v = _pair_split(p_next)
         q0, q1v = _pair_split(q_next)
-        eq_tab = eq_hypercube_dev(v.stack(xi_prev))
+        eq_tab = eq_hypercube_dev(v.stack(xi_prev), bitrev=True)
 
         round_polys: List[List[np.ndarray]] = []
         rho: List[np.ndarray] = []

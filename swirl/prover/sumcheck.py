@@ -19,9 +19,11 @@ hypercube/prism index is the trailing data axis.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import List, Sequence
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..fields import ext as hext
@@ -161,27 +163,61 @@ def interp_mle_at_int_base(mat, x: int):
     return jf.add(t0, jf.mul(jf.sub(t1, t0), jf.const(x)))
 
 
-def eq_hypercube_dev(xi_vec):
+def eq_hypercube_dev(xi_vec, bitrev: bool = False):
     """eq(xi, y) table over H_n on device: (2^n, 4).
 
     `xi_vec` is a (n, 4) EF vector in the current vmode (host canonical
     numpy or traced Monty); the table is always device Monty.
+
+    bitrev=True emits the table in BIT-REVERSED index order (entry j holds
+    eq at mask rev_n(j)) by iterating the variables in reverse — the layout
+    the GKR device path keeps its MLEs in so pair splits are contiguous
+    halves instead of stride-2 slices (measured 8x kernel speedup on the
+    v5e; see STATUS round 5).
     """
     from .vmode import vm
 
     v = vm()
     xi = xi_vec.reshape(-1, 4)
+    order = range(xi.shape[0] - 1, -1, -1) if bitrev else range(xi.shape[0])
     out = v.ef_dev(v.ext.eone()).reshape(1, 4)
-    for i in range(xi.shape[0]):
+    for i in order:
         x = v.ef_dev(xi[i])
         one_minus = v.ef_dev(v.ext.esub(v.ext.eone(), xi[i]))
         lo = jf.ext_mul(out, one_minus)
         hi = jf.ext_mul(out, x)
-        # mask bit i is the *low* bit direction: interleave (lo_y, hi_y)?
         # convention: table[mask], bit i of mask <-> xi[i]; building from
-        # bit 0 upward means new bit is the high bit of the doubled table.
+        # bit 0 upward means new bit is the high bit of the doubled table
+        # (reversed iteration puts xi[0] highest => bit-reversed table).
         out = jnp.concatenate([lo, hi], axis=0)
     return out
+
+
+@lru_cache(maxsize=None)
+def _bitrev_perm_jit(bits: int):
+    """(2^bits, ...) -> same array with index bit-reversal applied (one
+    gather; the index vector is computed in-program, no literal table)."""
+
+    @jax.jit
+    def f(x):
+        n = 1 << bits
+        i = jnp.arange(n, dtype=jnp.uint32)
+        r = jnp.zeros_like(i)
+        for b in range(bits):
+            r = r | (((i >> b) & jnp.uint32(1)) << (bits - 1 - b))
+        return jnp.take(x, r, axis=0)
+
+    return f
+
+
+def bitrev_permute(x):
+    """Bit-reverse the leading (power-of-two) axis of ``x``."""
+    n = int(x.shape[0])
+    bits = n.bit_length() - 1
+    assert n == 1 << bits
+    if bits <= 1:
+        return x
+    return _bitrev_perm_jit(bits)(x)
 
 
 def mobius_eq_hypercube_dev(u_vec):
