@@ -220,15 +220,19 @@ def bitrev_permute(x):
     return _bitrev_perm_jit(bits)(x)
 
 
-def mobius_eq_hypercube_dev(u_vec):
-    """Möbius-adjusted eq table over H_n on device: weights (1-2u_i, u_i)."""
+def mobius_eq_hypercube_dev(u_vec, bitrev: bool = False):
+    """Möbius-adjusted eq table over H_n on device: weights (1-2u_i, u_i).
+
+    bitrev=True emits the bit-reversed-index table (variables iterated in
+    reverse; see eq_hypercube_dev)."""
     from .vmode import vm
 
     v = vm()
     u = u_vec.reshape(-1, 4)
     out = v.ef_dev(v.ext.eone()).reshape(1, 4)
     one = v.ext.eone()
-    for i in range(u.shape[0]):
+    order = range(u.shape[0] - 1, -1, -1) if bitrev else range(u.shape[0])
+    for i in order:
         w0 = v.ef_dev(v.ext.esub(one, v.ext.eadd(u[i], u[i])))
         w1 = v.ef_dev(u[i])
         lo = jf.ext_mul(out, w0)
@@ -237,7 +241,7 @@ def mobius_eq_hypercube_dev(u_vec):
     return out
 
 
-def eq_pows_hypercube_dev(z, n: int, base_field: bool):
+def eq_pows_hypercube_dev(z, n: int, base_field: bool, bitrev: bool = False):
     """eq(pow(z), y) table where pow(z) = (z, z^2, z^4, ...): (2^n, 4).
 
     Equivalently eq table at the vector of repeated squarings of z.
@@ -259,10 +263,10 @@ def eq_pows_hypercube_dev(z, n: int, base_field: bool):
         pows.append(cur)
         cur = v.ext.emul(cur, cur)
     vec = v.stack(pows)
-    return eq_hypercube_dev(vec)
+    return eq_hypercube_dev(vec, bitrev=bitrev)
 
 
-def eq_pows_base_batch_dev(zvec, n: int):
+def eq_pows_base_batch_dev(zvec, n: int, bitrev: bool = False):
     """Batched eq(pow(z), y) tables for a vector of BASE-field points.
 
     zvec: (Q,) device Monty scalars. Returns (Q, 2^n) base-field Monty —
@@ -271,14 +275,22 @@ def eq_pows_base_batch_dev(zvec, n: int):
     count; the values are identical)."""
     q = zvec.shape[0]
     one = jf.const(1)
-    out = jnp.full((q, 1), one, jnp.uint32)
+    # squaring ladder first so bitrev mode can consume the factors in
+    # reverse (bitrev tables iterate variables MSB-first; see
+    # eq_hypercube_dev)
+    zs = []
     z = zvec
     for _ in range(n):
+        zs.append(z)
+        z = jf.mul(z, z)
+    if bitrev:
+        zs = list(reversed(zs))
+    out = jnp.full((q, 1), one, jnp.uint32)
+    for z in zs:
         x = z[:, None]
         lo = jf.mul(out, jf.sub(jnp.uint32(one), x))
         hi = jf.mul(out, x)
         out = jnp.concatenate([lo, hi], axis=1)  # new bit = high index bit
-        z = jf.mul(z, z)
     return out
 
 

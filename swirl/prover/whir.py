@@ -397,6 +397,26 @@ def _interp_vec(vec, x: int):
     return jf.ext_add(t0, jf.ext_scale(jf.ext_sub(t1, t0), jf.const(x)))
 
 
+def _interp_vec_br(vec, x: int):
+    """Bit-reversed-layout variant: logical pairs are CONTIGUOUS halves
+    (j, j + m) — 8x faster than the stride-2 form on the v5e (see
+    gkr._pair_split)."""
+    h = int(vec.shape[0]) // 2
+    t0, t1 = vec[:h], vec[h:]
+    if x == 1:
+        return t1
+    return jf.ext_add(t0, jf.ext_scale(jf.ext_sub(t1, t0), jf.const(x)))
+
+
+def _fold_mle_vec_br(vec, r_dev):
+    """Bit-reversed-layout MLE fold: (2m, 4) -> (m, 4) over halves."""
+    h = int(vec.shape[0]) // 2
+    if h < 1:
+        return vec
+    t0, t1 = vec[:h], vec[h:]
+    return jf.ext_add(t0, jf.ext_mul(jf.ext_sub(t1, t0), r_dev))
+
+
 def _whir_device(
     transcript, params: SystemParams, committed: Sequence[StackedPcsData], u
 ) -> WhirProof:
@@ -474,7 +494,13 @@ def _whir_device(
                     else jf.ext_add(f_evals, contrib)
                 )
                 off += w
-            w_evals = mobius_eq_hypercube_dev(u_a)
+            # bulk MLEs live in BIT-REVERSED order inside the region path
+            # (contiguous-half folds; see gkr._pair_split): permute f once,
+            # build the Mobius weight table bit-reversed directly
+            from .sumcheck import bitrev_permute
+
+            f_evals = bitrev_permute(f_evals)
+            w_evals = mobius_eq_hypercube_dev(u_a, bitrev=True)
             return wit, f_evals, w_evals
 
         return body
@@ -496,11 +522,13 @@ def _whir_device(
                 vv = _vm()
                 fold_evals = []
                 fold_wits = []
+                from .sumcheck import bitrev_permute
+
                 for _ in range(k):
                     evals = []
                     for x in (1, 2):
-                        fx = _interp_vec(f_evals, x)
-                        wx = _interp_vec(w_evals, x)
+                        fx = _interp_vec_br(f_evals, x)
+                        wx = _interp_vec_br(w_evals, x)
                         evals.append(
                             jf.ext_sum(jf.ext_mul(fx, wx), axis=0)
                         )
@@ -508,12 +536,14 @@ def _whir_device(
                     tr.observe_slice(evals2.reshape(-1))
                     fold_wits.append(tr.grind(whir.folding_pow_bits))
                     alpha = tr.sample_ext()
-                    f_evals = fold_mle_vec(f_evals, alpha)
-                    w_evals = fold_mle_vec(w_evals, alpha)
+                    f_evals = _fold_mle_vec_br(f_evals, alpha)
+                    w_evals = _fold_mle_vec_br(w_evals, alpha)
                     fold_evals.append(evals2)
 
+                # the Mobius transform consumes NATURAL order: un-permute
+                # the folded f (bit reversal is an involution)
                 g_coeffs = mobius_transform(
-                    f_evals[None], cur_m, ext=True
+                    bitrev_permute(f_evals)[None], cur_m, ext=True
                 )[0]
                 commit_root = None
                 y0 = None
@@ -591,7 +621,9 @@ def _whir_device(
                 if not is_last:
                     upd = jf.ext_mul(
                         gamma,
-                        eq_pows_hypercube_dev(z0, cur_m, base_field=False),
+                        eq_pows_hypercube_dev(
+                            z0, cur_m, base_field=False, bitrev=True
+                        ),
                     )
                     gamma_pows = vv.ext.epowers(gamma, num_queries + 2)
                     if num_queries:
@@ -608,7 +640,9 @@ def _whir_device(
                         for base in range(0, num_queries, chunk):
                             zc = zs_vec[base : base + chunk]
                             gc = gp_dev[base : base + chunk]
-                            tab = eq_pows_base_batch_dev(zc, cur_m)
+                            tab = eq_pows_base_batch_dev(
+                                zc, cur_m, bitrev=True
+                            )
                             upd = jf.ext_add(
                                 upd,
                                 jf.ext_sum(
