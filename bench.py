@@ -447,10 +447,18 @@ def main():
         )
 
     eager_line = None
-    if left() > 120.0:
+    # Retry the HEADLINE shape while budget remains: every region program
+    # that finishes compiling lands in the persistent cache, so a killed or
+    # crashed attempt resumes from where the previous one got to — retrying
+    # 2^20 strictly dominates falling back to a cold 2^18 (whose programs
+    # share nothing with the warmed shape).
+    for _ in range(3):
+        if left() < 120.0:
+            break
         eager_line = try_eager(left() - 60.0, LOG_ROWS)
         if eager_line is not None:
             print(eager_line, flush=True)
+            break
 
     # Backstop: smaller-shape eager e2e if the headline shape didn't land
     # (still an end-to-end verified prove, just at 2^18 rows).
